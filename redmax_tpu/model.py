@@ -1,0 +1,242 @@
+"""Kinematics and dynamics assembly: the RedMax core, TPU-first.
+
+Replaces the reference's recursive linked-list sweeps with dense batched
+block algebra:
+
+  * Forward kinematics: ONE level-synchronous product chain over tree depth
+    (vs. Joint.update's root-to-leaf pointer walk, Joint.m:382-434).
+  * Jacobian: the reference propagates J(i,a) = A_BiBp J(p,a) down the tree
+    (Joint.m:490-613, O(n^2) sequential). Here it is the closed form
+
+        J[i,a] = Ad(E_i<-a) A0_ij(a) S_a          for a ancestor-or-self of i
+
+    evaluated for ALL (i,a) pairs at once as masked [N,N,6,6] block products
+    — two dense einsums that map straight onto the MXU.
+  * Jdot: closed form via body twists phi = J qdot and
+        d/dt Ad(E_ia) = Ad(E_ia) ad(phi_a) - ad(phi_i) Ad(E_ia),
+    equivalent to the reference's Adot_BiBp propagation (Joint.m:545-552).
+  * Assembly (computeValues, driverRedMaxBDF1.m:190-243):
+        M = J^T Mm J,  fqvv = -J^T Mm Jdot qdot,  f = fr + J^T fm + fqvv
+    with Mm block-diagonal so Mm @ J is an elementwise scale, and the single
+    big contraction J^T (Mm J) is one [nr x 6N] @ [6N x nr] matmul.
+
+All functions take a static Topology (closed over / passed as Python object)
+plus a SceneParams pytree and flat (q, qdot); they are pure, jit-safe, and
+vmap cleanly over leading batch dimensions of (params, q, qdot).
+"""
+
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redmax_tpu import se3
+from redmax_tpu.joints import KERNELS, joint_QSSdot, joint_reparam
+from redmax_tpu.types import MAX_NDOF, NDOF, JointType, Topology
+
+
+class Kinematics(NamedTuple):
+    Q: Any        # [N,4,4] local joint transforms
+    E_wj: Any     # [N,4,4] joint frames in world
+    E_wi: Any     # [N,4,4] body frames in world
+    S: Any        # [N,6,MAX_NDOF] padded motion subspaces (joint frame)
+    Sdot: Any     # [N,6,MAX_NDOF]
+
+
+def _type_q_indices(topo: Topology, jt: int, members: Tuple[int, ...]) -> np.ndarray:
+    d = NDOF[JointType(jt)]
+    return np.array(
+        [[topo.qstart[m] + k for k in range(d)] for m in members], dtype=np.int32
+    ).reshape(len(members), d)
+
+
+def joint_params_for(params: Dict, jt: int) -> Dict:
+    return params.get("joint", {}).get(str(int(jt)), {})
+
+
+def forward_kinematics(topo: Topology, params: Dict, q, qdot) -> Kinematics:
+    """Evaluate all joint kernels + the world-transform chain."""
+    N = topo.njoints
+    dtype = q.dtype
+    Q = jnp.zeros((N, 4, 4), dtype=dtype)
+    S = jnp.zeros((N, 6, MAX_NDOF), dtype=dtype)
+    Sdot = jnp.zeros((N, 6, MAX_NDOF), dtype=dtype)
+
+    for jt, members in topo.type_groups().items():
+        jt_enum = JointType(jt)
+        d = NDOF[jt_enum]
+        idx = _type_q_indices(topo, jt, members)
+        qg = q[idx]          # [G, d]
+        qdotg = qdot[idx]    # [G, d]
+        pg = joint_params_for(params, jt)
+        Qg, Sg, Sdotg = jax.vmap(
+            partial(joint_QSSdot, jt_enum), in_axes=(0, 0, 0 if pg else None)
+        )(qg, qdotg, pg)
+        mem = np.array(members, dtype=np.int32)
+        Q = Q.at[mem].set(Qg)
+        if d > 0:
+            pad = ((0, 0), (0, 0), (0, MAX_NDOF - d))
+            S = S.at[mem].set(jnp.pad(Sg, pad))
+            Sdot = Sdot.at[mem].set(jnp.pad(Sdotg, pad))
+
+    # E_pj = E0_pj @ Q (Joint.m:404: E_pj = E0_pj * Q)
+    E_pj = params["E0_pj"] @ Q
+
+    # Level-synchronous world chain: all joints at one depth in parallel.
+    E_wj = jnp.zeros((N, 4, 4), dtype=dtype)
+    parent = np.array(topo.parent, dtype=np.int32)
+    for level in topo.levels:
+        lv = np.array(level, dtype=np.int32)
+        if topo.parent[level[0]] < 0:
+            E_wj = E_wj.at[lv].set(E_pj[lv])
+        else:
+            E_wj = E_wj.at[lv].set(E_wj[parent[lv]] @ E_pj[lv])
+
+    E_wi = E_wj @ params["E0_ji"]
+    return Kinematics(Q=Q, E_wj=E_wj, E_wi=E_wi, S=S, Sdot=Sdot)
+
+
+def jacobians(topo: Topology, params: Dict, kin: Kinematics, qdot):
+    """Dense J, Jdot in [nm, nr], plus body twists phi [N, 6].
+
+    Closed-form replacement for Joint.computeJacobian (Joint.m:490-613).
+    """
+    N = topo.njoints
+    anc = jnp.asarray(topo.ancestor_mask(), dtype=kin.S.dtype)
+    C = jnp.asarray(topo.col_onehot(), dtype=kin.S.dtype)
+
+    E_iw = se3.inv(kin.E_wi)
+    # Pairwise relative transforms E_{Bi<-Ba} and their adjoints.
+    E_rel = E_iw[:, None] @ kin.E_wi[None, :]        # [N,N,4,4]
+    X = se3.Ad(E_rel)                                 # [N,N,6,6]
+
+    A0_ij = se3.Ad(se3.inv(params["E0_ji"]))          # Body.m: A0_ij = Ad(E0_ij)
+    Sb = A0_ij @ kin.S                                # [N,6,dmax]
+    Sbdot = A0_ij @ kin.Sdot
+
+    Jblk = anc[:, :, None, None] * jnp.einsum("iakl,ald->iakd", X, Sb)
+    J = jnp.einsum("iakd,adr->ikr", Jblk, C).reshape(6 * N, topo.nr)
+
+    phi = (J @ qdot).reshape(N, 6)                    # body twists (Body.m:79)
+    adphi = se3.ad(phi)                               # [N,6,6]
+
+    # d/dt X[i,a] = X[i,a] ad(phi_a) - ad(phi_i) X[i,a]
+    Xdot = jnp.einsum("iakl,alm->iakm", X, adphi) - jnp.einsum(
+        "ikl,ialm->iakm", adphi, X
+    )
+    Jdotblk = anc[:, :, None, None] * (
+        jnp.einsum("iakl,ald->iakd", Xdot, Sb)
+        + jnp.einsum("iakl,ald->iakd", X, Sbdot)
+    )
+    Jdot = jnp.einsum("iakd,adr->ikr", Jdotblk, C).reshape(6 * N, topo.nr)
+    return J, Jdot, phi
+
+
+def joint_space_force(topo: Topology, params: Dict, q, qdot):
+    """Reduced-space joint forces fr [nr]: torque, stiffness, damping, limits.
+
+    Mirrors Joint.computeForce (matlab-diff/+redmax/Joint.m:437-487). The
+    per-joint scalars are pre-expanded to per-DOF arrays at compile time.
+    """
+    fr = (
+        params["tau"]
+        + params["stiffness"] * (params["qrest"] - q)
+        - params["damping"] * qdot
+    )
+    hitL = (q < params["qlimL"]).astype(q.dtype)
+    hitU = (q > params["qlimU"]).astype(q.dtype)
+    fr = fr + hitL * (params["qlimK"] * (params["qlimL"] - q) - params["qlimD"] * qdot)
+    fr = fr + hitU * (params["qlimK"] * (params["qlimU"] - q) - params["qlimD"] * qdot)
+    return fr
+
+
+def maximal_force(topo: Topology, params: Dict, kin: Kinematics, phi):
+    """Maximal (per-body wrench) forces fm [N, 6]: Coriolis + gravity.
+
+    Mirrors Body.computeMassGrav (matlab-diff/+redmax/Body.m:83-135):
+      fcor  = ad(phi)^T M_i phi
+      fgrav = [0; m R_iw g]  (gravity wrench in body frame)
+    """
+    I = params["I_i"]                                  # [N,6] diagonal inertia
+    Mphi = I * phi
+    fcor = jnp.einsum("nji,nj->ni", se3.ad(phi), Mphi)  # ad(phi)^T (M phi)
+    R_wi = kin.E_wi[:, :3, :3]
+    grav_i = jnp.einsum("nji,j->ni", R_wi, params["g"])  # R_iw @ g
+    mass = I[:, 3]
+    fgrav = jnp.concatenate([jnp.zeros_like(grav_i), mass[:, None] * grav_i], axis=-1)
+    return fcor + fgrav
+
+
+def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
+    """Full reduced assembly: returns (M [nr,nr], f [nr], aux dict).
+
+    The reference equivalent is computeValues (driverRedMaxBDF1.m:190-243)
+    restricted to values; derivatives (dMdq, K, D) are obtained by jacfwd of
+    this function where needed (see dynamics.py) — exactly, not by FD.
+
+    force_fns: static tuple of force closures, each
+        fn(params, kin, J, phi, q, qdot) -> (fr_add [nr], fm_add [N,6])
+    compiled from the scene's force list (forces.py).
+    """
+    kin = forward_kinematics(topo, params, q, qdot)
+    J, Jdot, phi = jacobians(topo, params, kin, qdot)
+
+    fr = joint_space_force(topo, params, q, qdot)
+    fm = maximal_force(topo, params, kin, phi)
+    for fn in force_fns:
+        fr_add, fm_add = fn(params, kin, J, phi, q, qdot)
+        fr = fr + fr_add
+        fm = fm + fm_add
+
+    Ivec = params["I_i"].reshape(-1)                   # [6N] block-diag Mm
+    MmJ = Ivec[:, None] * J
+    M = J.T @ MmJ                                      # Mr = J^T Mm J
+    fqvv = -MmJ.T @ (Jdot @ qdot)                      # -J^T Mm Jdot qdot
+    f = fr + J.T @ fm.reshape(-1) + fqvv
+    aux = {"kin": kin, "J": J, "Jdot": Jdot, "phi": phi, "fm": fm, "fr": fr}
+    return M, f, aux
+
+
+def energies(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
+    """Kinetic and potential energy (T, V).
+
+    Mirrors Joint/Body.computeEnergies (Joint.m:616-637, Body.m:167-173):
+      T = 1/2 sum_i phi_i^T M_i phi_i
+      V = -sum_i m_i g . p_wi + 1/2 k (q - qrest)^2 + limit penalties
+        + force energies.
+    """
+    kin = forward_kinematics(topo, params, q, qdot)
+    J, _, phi = jacobians(topo, params, kin, qdot)
+    I = params["I_i"]
+    T = 0.5 * jnp.sum(phi * (I * phi))
+    p_wi = kin.E_wi[:, :3, 3]
+    V = -jnp.sum(I[:, 3] * (p_wi @ params["g"]))
+    dq = q - params["qrest"]
+    V = V + 0.5 * jnp.sum(params["stiffness"] * dq * dq)
+    hitL = (q < params["qlimL"]).astype(q.dtype)
+    hitU = (q > params["qlimU"]).astype(q.dtype)
+    dqL = hitL * (params["qlimL"] - q)
+    dqU = hitU * (params["qlimU"] - q)
+    V = V + 0.5 * jnp.sum(params["qlimK"] * (dqL * dqL + dqU * dqU))
+    for fn in force_fns:
+        if hasattr(fn, "energy"):
+            V = V + fn.energy(params, kin, q, qdot)
+    return T, V
+
+
+def reparam_all(topo: Topology, q, qdot, params: Dict):
+    """Post-step reparameterization sweep (Joint.reparam, Joint.m:372-379)."""
+    for jt, members in topo.type_groups().items():
+        jt_enum = JointType(jt)
+        if KERNELS[jt_enum].reparam_fn is None:
+            continue
+        idx = _type_q_indices(topo, jt, members)
+        pg = joint_params_for(params, jt)
+        qg, qdotg = jax.vmap(
+            partial(joint_reparam, jt_enum), in_axes=(0, 0, 0 if pg else None)
+        )(q[idx], qdot[idx], pg)
+        q = q.at[idx].set(qg)
+        qdot = qdot.at[idx].set(qdotg)
+    return q, qdot

@@ -1,0 +1,336 @@
+"""Scene construction and compilation.
+
+``SceneBuilder`` is the user-facing API (the role of scenesRedMax.m /
+testRedMaxScenes.m scene assembly in the reference): add bodies and joints,
+then ``compile()`` flattens everything into a ``CompiledScene`` — static
+Topology + SceneParams pytree + initial State — on which all dynamics run as
+pure jitted functions.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from redmax_tpu import forces as forces_mod
+from redmax_tpu import integrators, model
+from redmax_tpu.types import NDOF, JointType, State, Topology
+
+_BIG = 1e8  # default joint limit bounds (Joint.m:78-81: qLimL=-1e8, qLimU=1e8)
+
+
+@dataclass
+class _BodySpec:
+    density: float
+    inertia: np.ndarray          # [6] diagonal
+    E_ji: np.ndarray             # [4,4] body wrt joint
+    name: str = ""
+
+
+@dataclass
+class _JointSpec:
+    jtype: JointType
+    parent: int                  # joint index, -1 for root
+    body: int                    # body index (same as joint index)
+    E_pj: np.ndarray             # [4,4]
+    params: Dict[str, np.ndarray] = field(default_factory=dict)
+    q: Optional[np.ndarray] = None
+    qdot: Optional[np.ndarray] = None
+    stiffness: float = 0.0
+    damping: float = 0.0
+    qrest: Optional[np.ndarray] = None
+    qlimL: float = -_BIG
+    qlimU: float = _BIG
+    qlimK: float = _BIG          # Joint.m:80 (qLimK = 1e8)
+    qlimD: float = 0.0
+    name: str = ""
+
+
+def _np_inertia_cuboid(sides, density):
+    sides = np.asarray(sides, dtype=np.float64)
+    mass = density * np.prod(sides)
+    s2 = sides * sides
+    return np.array(
+        [
+            mass / 12.0 * (s2[1] + s2[2]),
+            mass / 12.0 * (s2[2] + s2[0]),
+            mass / 12.0 * (s2[0] + s2[1]),
+            mass,
+            mass,
+            mass,
+        ]
+    )
+
+
+def _np_inertia_sphere(radius, density):
+    mass = density * 4.0 / 3.0 * math.pi * radius**3
+    i = 0.4 * mass * radius * radius
+    return np.array([i, i, i, mass, mass, mass])
+
+
+def _np_inertia_cylinder(radius, height, density):
+    mass = density * math.pi * radius * radius * height
+    ix = mass * (3 * radius * radius + height * height) / 12.0
+    iz = 0.5 * mass * radius * radius
+    return np.array([ix, ix, iz, mass, mass, mass])
+
+
+def transl(p) -> np.ndarray:
+    E = np.eye(4)
+    E[:3, 3] = p
+    return E
+
+
+class SceneBuilder:
+    """Imperative scene assembly, compiled once to arrays.
+
+    Mirrors the construction idiom of scenesRedMax.m: create a body, attach
+    it with a joint (parent joint or None for root), set transforms and
+    initial q. Joint i owns body i; insertion order must be topological
+    (parent before child), matching Scene.init's traversal reorder
+    (Scene.m:64-67).
+    """
+
+    def __init__(self, name="", h=1e-2, tEnd=1.0, grav=(0.0, 0.0, -980.0)):
+        self.name = name
+        self.h = h
+        self.tEnd = tEnd
+        self.grav = np.asarray(grav, dtype=np.float64)
+        self.bodies: List[_BodySpec] = []
+        self.joints: List[_JointSpec] = []
+        self.forces: List[Tuple[str, Any, Dict[str, np.ndarray]]] = []
+        self.Hexpected: Dict[str, float] = {}
+
+    # -- bodies ------------------------------------------------------------
+    def body_cuboid(self, density, sides, E_ji=None, name="") -> int:
+        spec = _BodySpec(
+            density=density,
+            inertia=_np_inertia_cuboid(sides, density),
+            E_ji=np.eye(4) if E_ji is None else np.asarray(E_ji, dtype=np.float64),
+            name=name,
+        )
+        self.bodies.append(spec)
+        return len(self.bodies) - 1
+
+    def body_sphere(self, density, radius, E_ji=None, name="") -> int:
+        spec = _BodySpec(
+            density=density,
+            inertia=_np_inertia_sphere(radius, density),
+            E_ji=np.eye(4) if E_ji is None else np.asarray(E_ji, dtype=np.float64),
+            name=name,
+        )
+        self.bodies.append(spec)
+        return len(self.bodies) - 1
+
+    def body_cylinder(self, density, radius, height, E_ji=None, name="") -> int:
+        spec = _BodySpec(
+            density=density,
+            inertia=_np_inertia_cylinder(radius, height, density),
+            E_ji=np.eye(4) if E_ji is None else np.asarray(E_ji, dtype=np.float64),
+            name=name,
+        )
+        self.bodies.append(spec)
+        return len(self.bodies) - 1
+
+    def set_body_transform(self, body: int, E_ji) -> None:
+        self.bodies[body].E_ji = np.asarray(E_ji, dtype=np.float64)
+
+    # -- joints ------------------------------------------------------------
+    def joint(
+        self,
+        jtype: JointType,
+        parent: Optional[int],
+        body: int,
+        E_pj=None,
+        q=None,
+        qdot=None,
+        name="",
+        **jparams,
+    ) -> int:
+        d = NDOF[jtype]
+        assert body == len(self.joints), "joint i must own body i (add in order)"
+        params = {}
+        if jtype in (JointType.REVOLUTE, JointType.PRISMATIC):
+            axis = np.asarray(jparams.pop("axis"), dtype=np.float64)
+            params["axis"] = axis / np.linalg.norm(axis)
+        elif jtype == JointType.PLANAR:
+            plane = np.asarray(
+                jparams.pop("plane", np.array([[1.0, 0, 0], [0, 1.0, 0]]).T),
+                dtype=np.float64,
+            )
+            plane = plane / np.linalg.norm(plane, axis=0, keepdims=True)
+            params["plane"] = plane
+        spec = _JointSpec(
+            jtype=jtype,
+            parent=-1 if parent is None else parent,
+            body=body,
+            E_pj=np.eye(4) if E_pj is None else np.asarray(E_pj, dtype=np.float64),
+            params=params,
+            q=np.zeros(d) if q is None else np.atleast_1d(np.asarray(q, dtype=np.float64)),
+            qdot=np.zeros(d) if qdot is None else np.atleast_1d(np.asarray(qdot, dtype=np.float64)),
+            name=name,
+        )
+        for k, v in jparams.items():
+            setattr(spec, k, v)
+        self.joints.append(spec)
+        return len(self.joints) - 1
+
+    def set_stiffness(self, j: int, k: float) -> None:
+        self.joints[j].stiffness = k
+
+    def set_damping(self, j: int, d: float) -> None:
+        self.joints[j].damping = d
+
+    def set_limits(self, j: int, lower=-_BIG, upper=_BIG, k=_BIG, d=0.0) -> None:
+        self.joints[j].qlimL = lower
+        self.joints[j].qlimU = upper
+        self.joints[j].qlimK = k
+        self.joints[j].qlimD = d
+
+    # -- forces ------------------------------------------------------------
+    def force_point_point(self, bodyA, bodyB, xlA, xlB, k, d=0.0) -> None:
+        key = f"f{len(self.forces)}"
+        self.forces.append(
+            (
+                "point_point",
+                forces_mod.ForcePointPoint(key, bodyA, bodyB),
+                {
+                    "xlA": np.asarray(xlA, dtype=np.float64),
+                    "xlB": np.asarray(xlB, dtype=np.float64),
+                    "k": np.float64(k),
+                    "d": np.float64(d),
+                },
+            )
+        )
+
+    def add_force(self, force_obj, fparams: Dict[str, np.ndarray]) -> None:
+        """Register a custom force closure (see forces.py for the protocol)."""
+        self.forces.append(("custom", force_obj, fparams))
+
+    # -- compile -----------------------------------------------------------
+    def compile(self, dtype=jnp.float64) -> "CompiledScene":
+        N = len(self.joints)
+        assert N == len(self.bodies)
+        qstart, ndof = [], []
+        off = 0
+        for js in self.joints:
+            assert js.parent < js.body, "insertion order must be topological"
+            qstart.append(off)
+            ndof.append(NDOF[js.jtype])
+            off += NDOF[js.jtype]
+        nr = off
+        topo = Topology(
+            njoints=N,
+            nr=nr,
+            parent=tuple(js.parent for js in self.joints),
+            jtype=tuple(int(js.jtype) for js in self.joints),
+            qstart=tuple(qstart),
+            ndof=tuple(ndof),
+        )
+
+        def per_dof(getter, default=0.0):
+            out = np.full(nr, default, dtype=np.float64)
+            for i, js in enumerate(self.joints):
+                out[qstart[i]: qstart[i] + ndof[i]] = getter(js)
+            return out
+
+        q0 = np.zeros(nr)
+        qdot0 = np.zeros(nr)
+        qrest = np.zeros(nr)
+        for i, js in enumerate(self.joints):
+            sl = slice(qstart[i], qstart[i] + ndof[i])
+            q0[sl] = js.q
+            qdot0[sl] = js.qdot
+            # Reference: qRest defaults to the initial q (set in scene setup
+            # via joint.qRest = joint.q when stiffness is used; scenes that
+            # use stiffness set qRest explicitly — default to initial q).
+            qrest[sl] = js.q if js.qrest is None else js.qrest
+
+        jt_params: Dict[str, Dict[str, Any]] = {}
+        for jt, members in topo.type_groups().items():
+            keys = set()
+            for m in members:
+                keys |= set(self.joints[m].params.keys())
+            if keys:
+                jt_params[str(int(jt))] = {
+                    k: jnp.asarray(
+                        np.stack([self.joints[m].params[k] for m in members]),
+                        dtype=dtype,
+                    )
+                    for k in sorted(keys)
+                }
+
+        params: Dict[str, Any] = {
+            "E0_pj": jnp.asarray(np.stack([j.E_pj for j in self.joints]), dtype=dtype),
+            "E0_ji": jnp.asarray(np.stack([b.E_ji for b in self.bodies]), dtype=dtype),
+            "I_i": jnp.asarray(np.stack([b.inertia for b in self.bodies]), dtype=dtype),
+            "g": jnp.asarray(self.grav, dtype=dtype),
+            "h": jnp.asarray(self.h, dtype=dtype),
+            "stiffness": jnp.asarray(per_dof(lambda j: j.stiffness), dtype=dtype),
+            "damping": jnp.asarray(per_dof(lambda j: j.damping), dtype=dtype),
+            "tau": jnp.zeros(nr, dtype=dtype),
+            "qrest": jnp.asarray(qrest, dtype=dtype),
+            "qlimL": jnp.asarray(per_dof(lambda j: j.qlimL, -_BIG), dtype=dtype),
+            "qlimU": jnp.asarray(per_dof(lambda j: j.qlimU, _BIG), dtype=dtype),
+            "qlimK": jnp.asarray(per_dof(lambda j: j.qlimK, _BIG), dtype=dtype),
+            "qlimD": jnp.asarray(per_dof(lambda j: j.qlimD, 0.0), dtype=dtype),
+            "joint": jt_params,
+            "forces": {
+                obj.key if hasattr(obj, "key") else f"f{i}": {
+                    k: jnp.asarray(v, dtype=dtype) for k, v in fp.items()
+                }
+                for i, (_, obj, fp) in enumerate(self.forces)
+            },
+        }
+        state0 = State(
+            q=jnp.asarray(q0, dtype=dtype), qdot=jnp.asarray(qdot0, dtype=dtype)
+        )
+        force_fns = tuple(obj for _, obj, _ in self.forces)
+        return CompiledScene(
+            name=self.name,
+            topo=topo,
+            params=params,
+            state0=state0,
+            force_fns=force_fns,
+            h=self.h,
+            tEnd=self.tEnd,
+            Hexpected=dict(self.Hexpected),
+        )
+
+
+@dataclass
+class CompiledScene:
+    name: str
+    topo: Topology
+    params: Dict[str, Any]
+    state0: State
+    force_fns: Tuple
+    h: float
+    tEnd: float
+    Hexpected: Dict[str, float]
+
+    @property
+    def nsteps(self) -> int:
+        return math.ceil(self.tEnd / self.h)
+
+    # Convenience evaluators (unjitted; wrap in jax.jit at call sites/tests).
+    def assemble(self, q, qdot):
+        return model.assemble(self.topo, self.params, q, qdot, self.force_fns)
+
+    def energies(self, q, qdot):
+        return model.energies(self.topo, self.params, q, qdot, self.force_fns)
+
+    def make_step(self, integrator="bdf1", cfg: Optional[integrators.NewtonConfig] = None):
+        cfg = cfg or integrators.NewtonConfig()
+        if integrator == "bdf1":
+            return integrators.make_bdf1_step(self.topo, self.force_fns, cfg)
+        if integrator == "bdf2":
+            return integrators.make_bdf2_step(self.topo, self.force_fns, cfg)
+        raise ValueError(integrator)
+
+    def initial_state(self, integrator="bdf1"):
+        if integrator == "bdf2":
+            return integrators.bdf2_init(self.state0)
+        return self.state0
