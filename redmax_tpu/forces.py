@@ -1,4 +1,4 @@
-"""Force modules: point springs, spring-dampers, cables, ground contact.
+"""Force modules: point springs, spring-dampers, cables, penalty ground contact.
 
 The reference Force hierarchy (matlab-diff/+redmax/Force*.m) accumulates
 (fr, fm) plus hand-derived stiffness/damping blocks (Kr, Km, Dr, Dm). Here a
@@ -7,18 +7,26 @@ force is a pure closure
     fn(params, kin, J, phi, q, qdot) -> (fr_add [nr], fm_add [N, 6])
 
 registered on the compiled scene; K/D blocks come from autodiff of the
-assembly (dynamics.compute_values), so force authors write values only.
-Each force type also exposes .energy(params, kin, q, qdot) for the potential
-used by the energy certificates.
+assembly (dynamics.compute_values), so force authors write values only —
+the reference's ~700 lines of hand-derived force Jacobians (e.g.
+ForcePointPoint.m:95-141, ForceGroundCuboid.m:103-150) are replaced by exact
+jacfwd at trace time. Each force also exposes .energy(params, kin, q, qdot)
+for the potential used by the energy certificates.
 
 Body points: a point r (body frame) on body b has world position
 x = E_wi[b] @ [r;1] and world velocity xdot = R_wi[b] Gamma(r) phi[b]
-(se3.Gamma, notes.pdf 1.2). Wrenches scatter back with Gamma^T.
+(se3.Gamma, notes.pdf 1.2). World forces f scatter back as wrenches
+Gamma(r)^T R^T f.
+
+All contact/tension branches are branchless (jnp.where) so the kernels stay
+jit/vmap-safe; division guards keep the inactive branch finite (a where over
+an Inf/NaN branch would poison gradients).
 """
 
 from typing import Dict, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from redmax_tpu import se3
 
@@ -34,7 +42,9 @@ class _ForceBase:
 
 
 def _point_state(kin, phi, b: int, r):
-    """World position and velocity of body-frame point r on body b."""
+    """World position/velocity of body-frame point r on body b (b = -1: world)."""
+    if b < 0:
+        return r, jnp.zeros(3, dtype=r.dtype), None, None
     E = kin.E_wi[b]
     R = E[:3, :3]
     x = R @ r + E[:3, 3]
@@ -43,55 +53,262 @@ def _point_state(kin, phi, b: int, r):
     return x, v, R, G
 
 
-class ForcePointPoint(_ForceBase):
-    """Zero-rest-length spring+damper between points on two bodies.
+def _apply_world_force(fm, b: int, R, G, fW):
+    """Scatter a world-frame point force into body b's wrench row."""
+    if b < 0:
+        return fm
+    return fm.at[b].add(G.T @ (R.T @ fW))
 
-    Reference: matlab-diff/+redmax/ForcePointPoint.m:48-141. Force law
-      f = k (xB - xA) + d (vB - vA)
-    applied at each attachment point as a body wrench Gamma^T R^T f.
-    params: {"bodyA": int static, "bodyB": int static} on self;
-    array params: xlA [3], xlB [3], k [], d [].
+
+class ForcePointPoint(_ForceBase):
+    """Zero-rest-length linear spring+damper between two body points.
+
+    Reference: matlab-diff/+redmax/ForcePointPoint.m:48-141.
+      f = ks (x2 - x1) + kd (v2 - v1), applied +f at point 1, -f at point 2.
+    params: xl1 [3], xl2 [3], k [], d [].  body = -1 means world-fixed point
+    (xl in world coords), as in the reference's empty-body convention.
     """
 
-    def __init__(self, key, bodyA: int, bodyB: int):
+    def __init__(self, key, body1: int, body2: int):
         super().__init__(key)
-        self.bodyA = bodyA  # -1 means world-fixed point (xlA in world frame)
-        self.bodyB = bodyB
-
-    def _ends(self, params, kin, phi):
-        fp = self.p(params)
-        if self.bodyA >= 0:
-            xA, vA, RA, GA = _point_state(kin, phi, self.bodyA, fp["xlA"])
-        else:
-            xA, vA, RA, GA = fp["xlA"], jnp.zeros(3, fp["xlA"].dtype), None, None
-        if self.bodyB >= 0:
-            xB, vB, RB, GB = _point_state(kin, phi, self.bodyB, fp["xlB"])
-        else:
-            xB, vB, RB, GB = fp["xlB"], jnp.zeros(3, fp["xlB"].dtype), None, None
-        return (xA, vA, RA, GA), (xB, vB, RB, GB)
+        self.body1 = body1
+        self.body2 = body2
 
     def __call__(self, params, kin, J, phi, q, qdot):
         fp = self.p(params)
-        (xA, vA, RA, GA), (xB, vB, RB, GB) = self._ends(params, kin, phi)
-        dx = xB - xA
-        dv = vB - vA
-        fW = fp["k"] * dx + fp["d"] * dv   # world-frame force on A (toward B)
-        N = kin.E_wi.shape[0]
-        fm = jnp.zeros((N, 6), dtype=q.dtype)
-        if self.bodyA >= 0:
-            fm = fm.at[self.bodyA].add(GA.T @ (RA.T @ fW))
-        if self.bodyB >= 0:
-            fm = fm.at[self.bodyB].add(GB.T @ (RB.T @ -fW))
+        x1, v1, R1, G1 = _point_state(kin, phi, self.body1, fp["xl1"])
+        x2, v2, R2, G2 = _point_state(kin, phi, self.body2, fp["xl2"])
+        fW = fp["k"] * (x2 - x1) + fp["d"] * (v2 - v1)
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        fm = _apply_world_force(fm, self.body1, R1, G1, fW)
+        fm = _apply_world_force(fm, self.body2, R2, G2, -fW)
+        return jnp.zeros_like(q), fm
+
+    def energy(self, params, kin, q, qdot):
+        # ForcePointPoint.computeEnergy_ (ForcePointPoint.m:118-133)
+        fp = self.p(params)
+        zero_phi = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        x1, _, _, _ = _point_state(kin, zero_phi, self.body1, fp["xl1"])
+        x2, _, _, _ = _point_state(kin, zero_phi, self.body2, fp["xl2"])
+        dx = x2 - x1
+        return 0.5 * fp["k"] * jnp.dot(dx, dx)
+
+
+class ForceSpringDamper(_ForceBase):
+    """Finite-rest-length strain spring+damper between two body points.
+
+    Reference: ForceSpringGeneric.computeValues_ (ForceSpringGeneric.m:37-83)
+    with ForceSpringDamper.computeSpringForce (ForceSpringDamper.m:62-72):
+      l = |x2 - x1|, ldot = (dx . dv)/l, strain = (l - L)/L
+      fs = k strain + d ldot/L        (scalar tension)
+      wrench_1 = (fs/l) Gamma1^T R1^T dx, wrench_2 = -(fs/l) Gamma2^T R2^T dx
+    params: xl1, xl2, k, d, L (rest length; auto-initialized at compile from
+    the initial configuration, ForceSpringDamper.init_ :38-59).
+    """
+
+    def __init__(self, key, body1: int, body2: int, tension_only: bool = False):
+        super().__init__(key)
+        self.body1 = body1
+        self.body2 = body2
+        self.tension_only = tension_only
+
+    def _scalar_force(self, fp, l, ldot):
+        strain = (l - fp["L"]) / fp["L"]
+        fs = fp["k"] * strain + fp["d"] * ldot / fp["L"]
+        if self.tension_only:
+            fs = jnp.where(strain > 0, fs, 0.0)
+        return fs
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        x1, v1, R1, G1 = _point_state(kin, phi, self.body1, fp["xl1"])
+        x2, v2, R2, G2 = _point_state(kin, phi, self.body2, fp["xl2"])
+        dx = x2 - x1
+        dv = v2 - v1
+        l = jnp.linalg.norm(dx)
+        ldot = jnp.dot(dx, dv) / l
+        fs = self._scalar_force(fp, l, ldot)
+        fW = (fs / l) * dx
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        fm = _apply_world_force(fm, self.body1, R1, G1, fW)
+        fm = _apply_world_force(fm, self.body2, R2, G2, -fW)
+        return jnp.zeros_like(q), fm
+
+    def energy(self, params, kin, q, qdot):
+        # V = (k/2) strain^2 L (ForceSpringDamper.m:66), gated for cables.
+        fp = self.p(params)
+        zero_phi = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        x1, _, _, _ = _point_state(kin, zero_phi, self.body1, fp["xl1"])
+        x2, _, _, _ = _point_state(kin, zero_phi, self.body2, fp["xl2"])
+        l = jnp.linalg.norm(x2 - x1)
+        strain = (l - fp["L"]) / fp["L"]
+        V = 0.5 * fp["k"] * strain * strain * fp["L"]
+        if self.tension_only:
+            V = jnp.where(strain > 0, V, 0.0)
+        return V
+
+
+class ForceCable(_ForceBase):
+    """Tension-only spring routed through a sequence of body points.
+
+    Reference: ForceSpringMultiPointGeneric.computeValues_
+    (ForceSpringMultiPointGeneric.m:28-95) + ForceCable.computeSpringForce
+    (ForceCable.m:66-84): total length l = sum |dx_k|, total ldot; one scalar
+    tension fs = k strain + d ldot/L when strain > 0, else slack (0); each
+    segment contributes unit-direction wrenches at both endpoints.
+    params: xls [P,3], k, d, L.
+    """
+
+    def __init__(self, key, bodies):
+        super().__init__(key)
+        self.bodies = tuple(bodies)  # static body indices, -1 = world
+
+    def _geometry(self, params, kin, phi):
+        fp = self.p(params)
+        pts = []
+        for i, b in enumerate(self.bodies):
+            pts.append(_point_state(kin, phi, b, fp["xls"][i]))
+        return pts
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        pts = self._geometry(params, kin, phi)
+        l = 0.0
+        ldot = 0.0
+        seg = []
+        for k in range(len(pts) - 1):
+            x1, v1, _, _ = pts[k]
+            x2, v2, _, _ = pts[k + 1]
+            dx = x2 - x1
+            dv = v2 - v1
+            dlen = jnp.linalg.norm(dx)
+            l = l + dlen
+            ldot = ldot + jnp.dot(dx, dv) / dlen
+            seg.append((dx, dlen))
+        strain = (l - fp["L"]) / fp["L"]
+        fs = fp["k"] * strain + fp["d"] * ldot / fp["L"]
+        fs = jnp.where(strain > 0, fs, 0.0)
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        for k in range(len(pts) - 1):
+            dx, dlen = seg[k]
+            fW = (fs / dlen) * dx
+            _, _, R1, G1 = pts[k]
+            _, _, R2, G2 = pts[k + 1]
+            fm = _apply_world_force(fm, self.bodies[k], R1, G1, fW)
+            fm = _apply_world_force(fm, self.bodies[k + 1], R2, G2, -fW)
         return jnp.zeros_like(q), fm
 
     def energy(self, params, kin, q, qdot):
         fp = self.p(params)
-        phi0 = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
-        (xA, _, _, _), (xB, _, _, _) = self._ends(params, kin, phi0)
-        dx = xB - xA
-        return 0.5 * fp["k"] * jnp.dot(dx, dx)
+        zero_phi = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        pts = self._geometry(params, kin, zero_phi)
+        l = 0.0
+        for k in range(len(pts) - 1):
+            l = l + jnp.linalg.norm(pts[k + 1][0] - pts[k][0])
+        strain = (l - fp["L"]) / fp["L"]
+        V = 0.5 * fp["k"] * strain * strain * fp["L"]
+        return jnp.where(strain > 0, V, 0.0)
+
+
+# The 8 cuboid corner signs, matching the column order of
+# ForceGroundCuboid.m:72-81.
+_CORNERS = np.array(
+    [
+        [-1, -1, -1],
+        [-1, -1, 1],
+        [-1, 1, -1],
+        [-1, 1, 1],
+        [1, -1, -1],
+        [1, -1, 1],
+        [1, 1, -1],
+        [1, 1, 1],
+    ],
+    dtype=np.float64,
+)
+
+
+class ForceGroundCuboid(_ForceBase):
+    """Penalty frictional ground contact on the 8 corners of a cuboid.
+
+    Reference: ForceGroundCuboid.computeValues_ (ForceGroundCuboid.m:54-153),
+    Geilinger et al. 2020-style smooth contact:
+      per penetrating corner (d = n.(x - xg) <= 0):
+        normal:   fc = -kn n d - kd N v            (N = n n^T)
+        friction: a = T v (tangential velocity, T = I - N)
+          static  (mu |kn d| >  kt |a|):  fs = -kt a
+          dynamic (otherwise):            fd = -mu kn d a/|a|
+    All 8 corners evaluated branchlessly with where-masks.
+    params: E [4,4] ground frame (z-up), sides [3], kn, kt, kd, mu.
+    """
+
+    def __init__(self, key, body: int):
+        super().__init__(key)
+        self.body = body
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        dtype = q.dtype
+        E_g = fp["E"]
+        xg = E_g[:3, 3]
+        ng = E_g[:3, 2]
+        Nmat = jnp.outer(ng, ng)
+        Tmat = jnp.eye(3, dtype=dtype) - Nmat
+        E = kin.E_wi[self.body]
+        R = E[:3, :3]
+        p = E[:3, 3]
+        ph = phi[self.body]
+        kn, kt, kd, mu = fp["kn"], fp["kt"], fp["kd"], fp["mu"]
+
+        xl = 0.5 * fp["sides"] * _CORNERS.astype(dtype)       # [8,3] body-frame
+        xw = xl @ R.T + p                                      # [8,3] world
+        d = (xw - xg) @ ng                                     # [8] depth
+        active = (d <= 0).astype(dtype)
+
+        G = se3.Gamma(xl)                                      # [8,3,6]
+        Gphi = jnp.einsum("cij,j->ci", G, ph)                  # [8,3] body-frame vel
+        vw = Gphi @ R.T                                        # [8,3] world vel
+
+        # Normal contact force (world frame), per corner
+        fc = -kn * d[:, None] * ng[None, :] - kd * (vw @ Nmat.T)
+
+        # Friction
+        a = vw @ Tmat.T                                        # tangential vel
+        # Grad-safe norm: clamp inside the sqrt so the untaken where-branch
+        # (dynamic friction at a ~ 0) stays finite under jacfwd.
+        a2 = jnp.sum(a * a, axis=-1)
+        anorm = jnp.sqrt(jnp.where(a2 < 1e-24, 1e-24, a2))
+        safe = anorm
+        static = (mu * jnp.abs(kn * d) > kt * anorm).astype(dtype)
+        f_static = -kt * a
+        f_dynamic = -mu * kn * d[:, None] * (a / safe[:, None])
+        have_fric = (mu > 0).astype(dtype)
+        ff = have_fric * (static[:, None] * f_static + (1 - static)[:, None] * f_dynamic)
+
+        fW = active[:, None] * (fc + ff)                       # [8,3] world force
+        # Scatter: wrench = sum_c G_c^T R^T fW_c
+        wrench = jnp.einsum("cij,ci->j", G, fW @ R)
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=dtype)
+        fm = fm.at[self.body].add(wrench)
+        return jnp.zeros_like(q), fm
+
+    def energy(self, params, kin, q, qdot):
+        # ForceGroundCuboid.computeEnergy_ (:156-183): V = 1/2 kn d^2 per
+        # penetrating corner.
+        fp = self.p(params)
+        dtype = q.dtype
+        E_g = fp["E"]
+        xg = E_g[:3, 3]
+        ng = E_g[:3, 2]
+        E = kin.E_wi[self.body]
+        xl = 0.5 * fp["sides"] * _CORNERS.astype(dtype)
+        xw = xl @ E[:3, :3].T + E[:3, 3]
+        d = (xw - xg) @ ng
+        return 0.5 * fp["kn"] * jnp.sum(jnp.where(d <= 0, d * d, 0.0))
 
 
 FORCE_TYPES = {
     "point_point": ForcePointPoint,
+    "spring_damper": ForceSpringDamper,
+    "cable": ForceCable,
+    "ground_cuboid": ForceGroundCuboid,
 }

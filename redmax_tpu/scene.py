@@ -27,6 +27,7 @@ class _BodySpec:
     inertia: np.ndarray          # [6] diagonal
     E_ji: np.ndarray             # [4,4] body wrt joint
     name: str = ""
+    sides: Optional[np.ndarray] = None   # cuboid dimensions (contact needs them)
 
 
 @dataclass
@@ -110,6 +111,7 @@ class SceneBuilder:
             inertia=_np_inertia_cuboid(sides, density),
             E_ji=np.eye(4) if E_ji is None else np.asarray(E_ji, dtype=np.float64),
             name=name,
+            sides=np.asarray(sides, dtype=np.float64),
         )
         self.bodies.append(spec)
         return len(self.bodies) - 1
@@ -190,17 +192,72 @@ class SceneBuilder:
         self.joints[j].qlimD = d
 
     # -- forces ------------------------------------------------------------
-    def force_point_point(self, bodyA, bodyB, xlA, xlB, k, d=0.0) -> None:
-        key = f"f{len(self.forces)}"
+    def _force_key(self) -> str:
+        return f"f{len(self.forces)}"
+
+    def force_point_point(self, body1, body2, xl1, xl2, k, d=0.0) -> None:
+        key = self._force_key()
         self.forces.append(
             (
                 "point_point",
-                forces_mod.ForcePointPoint(key, bodyA, bodyB),
+                forces_mod.ForcePointPoint(key, body1, body2),
                 {
-                    "xlA": np.asarray(xlA, dtype=np.float64),
-                    "xlB": np.asarray(xlB, dtype=np.float64),
+                    "xl1": np.asarray(xl1, dtype=np.float64),
+                    "xl2": np.asarray(xl2, dtype=np.float64),
                     "k": np.float64(k),
                     "d": np.float64(d),
+                },
+            )
+        )
+
+    def force_spring_damper(self, body1, body2, xl1, xl2, k, d=0.0, L=0.0) -> None:
+        """L=0 requests rest-length auto-init from the initial configuration
+        (ForceSpringDamper.init_, ForceSpringDamper.m:38-59)."""
+        key = self._force_key()
+        self.forces.append(
+            (
+                "spring_damper",
+                forces_mod.ForceSpringDamper(key, body1, body2),
+                {
+                    "xl1": np.asarray(xl1, dtype=np.float64),
+                    "xl2": np.asarray(xl2, dtype=np.float64),
+                    "k": np.float64(k),
+                    "d": np.float64(d),
+                    "L": np.float64(L),
+                },
+            )
+        )
+
+    def force_cable(self, bodies, xls, k, d=0.0, L=0.0) -> None:
+        key = self._force_key()
+        self.forces.append(
+            (
+                "cable",
+                forces_mod.ForceCable(key, bodies),
+                {
+                    "xls": np.asarray(xls, dtype=np.float64),
+                    "k": np.float64(k),
+                    "d": np.float64(d),
+                    "L": np.float64(L),
+                },
+            )
+        )
+
+    def force_ground_cuboid(self, body, E_ground=None, kn=1.0, kt=0.0, kd=0.0, mu=0.0) -> None:
+        key = self._force_key()
+        sides = self.bodies[body].sides
+        assert sides is not None, "ground contact requires a cuboid body"
+        self.forces.append(
+            (
+                "ground_cuboid",
+                forces_mod.ForceGroundCuboid(key, body),
+                {
+                    "E": np.eye(4) if E_ground is None else np.asarray(E_ground, dtype=np.float64),
+                    "sides": sides,
+                    "kn": np.float64(kn),
+                    "kt": np.float64(kt),
+                    "kd": np.float64(kd),
+                    "mu": np.float64(mu),
                 },
             )
         )
@@ -288,6 +345,34 @@ class SceneBuilder:
             q=jnp.asarray(q0, dtype=dtype), qdot=jnp.asarray(qdot0, dtype=dtype)
         )
         force_fns = tuple(obj for _, obj, _ in self.forces)
+
+        # Rest-length auto-init from the initial configuration
+        # (ForceSpringDamper.init_ / ForceCable.init_; called from Scene.init
+        # via forces{1}.init() in the reference, Scene.m:117).
+        if any(
+            ft in ("spring_damper", "cable") and float(fp["L"]) == 0.0
+            for ft, _, fp in self.forces
+        ):
+            kin0 = model.forward_kinematics(topo, params, state0.q, state0.qdot)
+
+            def world_pt(b, xl):
+                if b < 0:
+                    return np.asarray(xl)
+                E = np.asarray(kin0.E_wi[b])
+                return E[:3, :3] @ np.asarray(xl) + E[:3, 3]
+
+            for ft, obj, fp in self.forces:
+                if ft == "spring_damper" and float(fp["L"]) == 0.0:
+                    L = np.linalg.norm(
+                        world_pt(obj.body2, fp["xl2"]) - world_pt(obj.body1, fp["xl1"])
+                    )
+                    params["forces"][obj.key]["L"] = jnp.asarray(L, dtype=dtype)
+                elif ft == "cable" and float(fp["L"]) == 0.0:
+                    pts = [world_pt(b, fp["xls"][i]) for i, b in enumerate(obj.bodies)]
+                    L = sum(
+                        np.linalg.norm(pts[i + 1] - pts[i]) for i in range(len(pts) - 1)
+                    )
+                    params["forces"][obj.key]["L"] = jnp.asarray(L, dtype=dtype)
         return CompiledScene(
             name=self.name,
             topo=topo,

@@ -118,34 +118,56 @@ def Gamma(r):
     return jnp.concatenate([jnp.swapaxes(hat3(r), -1, -2), I3], axis=-1)
 
 
+# The trig coefficient functions below take t = theta^2 (NOT theta) so that
+# they are smooth functions of w through t = |w|^2 at w = 0. Taking
+# jnp.linalg.norm(w) first would make jacfwd produce NaN at w = 0 (the norm
+# is not differentiable there), which poisons the Newton Hessian for any
+# joint sitting at q = 0.
+_T_SMALL = 1e-8  # theta < 1e-4
+
+
+def _sinc_sq(t):
+    """sin(sqrt(t))/sqrt(t) as a smooth function of t = theta^2."""
+    small = t < _T_SMALL
+    ts = jnp.where(small, 1.0, t)  # keep sqrt away from 0 in the false branch
+    th = jnp.sqrt(ts)
+    return jnp.where(small, 1.0 - t / 6.0 + t * t / 120.0, jnp.sin(th) / th)
+
+
+def _cosc_sq(t):
+    """(1 - cos(sqrt(t)))/t as a smooth function of t = theta^2."""
+    small = t < _T_SMALL
+    ts = jnp.where(small, 1.0, t)
+    th = jnp.sqrt(ts)
+    return jnp.where(small, 0.5 - t / 24.0 + t * t / 720.0, (1.0 - jnp.cos(th)) / ts)
+
+
+def _sincc_sq(t):
+    """(sqrt(t) - sin(sqrt(t)))/t^{3/2} as a smooth function of t = theta^2."""
+    small = t < _T_SMALL
+    ts = jnp.where(small, 1.0, t)
+    th = jnp.sqrt(ts)
+    return jnp.where(
+        small, 1.0 / 6.0 - t / 120.0 + t * t / 5040.0, (th - jnp.sin(th)) / (ts * th)
+    )
+
+
 def _sinc(x):
-    """sin(x)/x, branchless."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the false branch
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
-
-
-def _cosc(x):
-    """(1 - cos(x))/x^2, branchless."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
-
-
-def _sincc(x):
-    """(x - sin(x))/x^3, branchless."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 1.0 / 6.0 - x * x / 120.0, (xs - jnp.sin(xs)) / (xs**3))
+    """sin(x)/x, branchless (argument is an angle, not squared)."""
+    return _sinc_sq(x * x)
 
 
 def exp_so3(w):
-    """Rodrigues' formula: (..., 3) -> (..., 3, 3). Reference: se3.exp rotational part."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    """Rodrigues' formula: (..., 3) -> (..., 3, 3). Reference: se3.exp rotational part.
+
+    Smooth at w = 0 (including all jacfwd/jvp derivatives): the coefficients
+    are functions of |w|^2 only.
+    """
+    t = jnp.sum(w * w, axis=-1)
     W = hat3(w)
     W2 = W @ W
-    a = _sinc(theta)[..., None, None]
-    b = _cosc(theta)[..., None, None]
+    a = _sinc_sq(t)[..., None, None]
+    b = _cosc_sq(t)[..., None, None]
     I3 = jnp.eye(3, dtype=w.dtype)
     return I3 + a * W + b * W2
 
@@ -154,13 +176,13 @@ def exp(phi):
     """SE(3) exponential: (..., 6) -> (..., 4, 4). Reference: se3.exp (se3.m:263)."""
     w = phi[..., :3]
     v = phi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1)
+    t = jnp.sum(w * w, axis=-1)
     W = hat3(w)
     W2 = W @ W
     I3 = jnp.eye(3, dtype=phi.dtype)
-    R = I3 + _sinc(theta)[..., None, None] * W + _cosc(theta)[..., None, None] * W2
+    R = I3 + _sinc_sq(t)[..., None, None] * W + _cosc_sq(t)[..., None, None] * W2
     # Left Jacobian V = I + cosc * W + sincc * W^2 ; p = V v
-    V = I3 + _cosc(theta)[..., None, None] * W + _sincc(theta)[..., None, None] * W2
+    V = I3 + _cosc_sq(t)[..., None, None] * W + _sincc_sq(t)[..., None, None] * W2
     p = (V @ v[..., None])[..., 0]
     return make_E(R, p)
 
@@ -168,16 +190,20 @@ def exp(phi):
 def log_so3(R):
     """SO(3) logarithm: (..., 3, 3) -> (..., 3). Reference: se3.log rotational part.
 
-    Branchless, valid for theta in [0, pi); near pi accuracy degrades like the
-    reference (which uses the same (R - R^T) formula, se3.m:309).
+    Branchless and grad-safe at R = I: the atan2-based angle and the
+    theta/(2 sin theta) scale are both expressed through s^2 = |vee(R-R^T)/2|^2,
+    smooth at the identity. Near theta = pi accuracy degrades like the
+    reference (same (R - R^T) formula, se3.m:309).
     """
-    cos_theta = 0.5 * (jnp.trace(R, axis1=-2, axis2=-1) - 1.0)
-    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # w_hat = theta/(2 sin(theta)) (R - R^T);  theta/(2 sin th) = 1/(2 sinc th)
-    scale = 1.0 / (2.0 * _sinc(theta))
-    Wb = scale[..., None, None] * (R - jnp.swapaxes(R, -1, -2))
-    return unhat3(Wb)
+    u = unhat3(0.5 * (R - jnp.swapaxes(R, -1, -2)))  # sin(theta) * axis
+    s2 = jnp.sum(u * u, axis=-1)                      # sin(theta)^2
+    c = 0.5 * (jnp.trace(R, axis1=-2, axis2=-1) - 1.0)  # cos(theta)
+    small = s2 < _T_SMALL
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(s, c)
+    # scale = theta / sin(theta); near theta=0: 1 + s2/6 + 3 s2^2/40 (in sin^2)
+    scale = jnp.where(small, 1.0 + s2 / 6.0 + 0.075 * s2 * s2, theta / s)
+    return scale[..., None] * u
 
 
 def log(E):
@@ -185,18 +211,18 @@ def log(E):
     R = E[..., :3, :3]
     p = E[..., :3, 3]
     w = log_so3(R)
-    theta = jnp.linalg.norm(w, axis=-1)
+    t = jnp.sum(w * w, axis=-1)
     W = hat3(w)
     W2 = W @ W
     I3 = jnp.eye(3, dtype=E.dtype)
     # V from exp(); v = V^{-1} p. Closed-form inverse:
     # V^{-1} = I - W/2 + (1/theta^2)(1 - sinc/(2 cosc)) W^2
-    small = theta < 1e-4
-    th2 = jnp.where(small, 1.0, theta * theta)
+    small = t < _T_SMALL
+    ts = jnp.where(small, 1.0, t)
     coef = jnp.where(
         small,
-        1.0 / 12.0 + theta * theta / 720.0,
-        (1.0 - _sinc(theta) / (2.0 * _cosc(theta))) / th2,
+        1.0 / 12.0 + t / 720.0,
+        (1.0 - _sinc_sq(ts) / (2.0 * _cosc_sq(ts))) / ts,
     )
     Vinv = I3 - 0.5 * W + coef[..., None, None] * W2
     v = (Vinv @ p[..., None])[..., 0]
@@ -210,11 +236,13 @@ def reparam_exp(w):
     derivatives. Reference: se3.reparam (se3.m:337), which loops; a single
     application suffices when applied every step (|w| grows by < pi/2 per
     step in practice), and we apply it twice for safety, branchlessly.
+    Grad-safe at w = 0: the sqrt argument is clamped to 1 where unused.
     """
     def once(w):
-        n = jnp.linalg.norm(w, axis=-1, keepdims=True)
-        a = 1.0 - 2.0 * jnp.pi / jnp.where(n < 1e-12, 1.0, n)
-        return jnp.where(n > 1.5 * jnp.pi, a * w, w)
+        n2 = jnp.sum(w * w, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.where(n2 < 1.0, 1.0, n2))
+        a = 1.0 - 2.0 * jnp.pi / n
+        return jnp.where(n2 > (1.5 * jnp.pi) ** 2, a * w, w)
 
     return once(once(w))
 
