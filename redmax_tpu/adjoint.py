@@ -1,0 +1,63 @@
+"""Differentiability layer: adjoint gradients through implicit integration.
+
+The reference implements the adjoint method by hand (matlab-diff/+redmax/
+TaskBDF1.m:45-81, TaskBDF2.m:45-108): a backward sweep over the horizon that
+reuses the per-step LU factors of the Newton Hessian H to solve H^T z = y.
+
+Here the same mathematics falls out of reverse-mode AD through the rollout
+scan, provided each implicit solve has the implicit-function-theorem VJP:
+
+    g(x*, theta) = 0   =>   dx*/dtheta = -H^{-1} dg/dtheta,  H = dg/dx at x*
+
+so for an incoming cotangent xbar the pullback is
+
+    thetabar = -(dg/dtheta)^T H^{-T} xbar
+
+i.e. ONE transposed linear solve against the forward Hessian per step —
+exactly the reference's z_k = H_k^T \\ y_k (TaskBDF1.m:66), with the banded
+y_k recursion produced automatically by scan's reverse accumulation through
+the (q, qdot, q_prev, qdot_prev) carry.
+
+``implicit_solve`` wraps the damped-Newton solver from integrators.py with
+this custom VJP; the Newton iteration itself (a lax.while_loop) is never
+differentiated through.
+"""
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def implicit_solve(res_fn: Callable, newton_fn: Callable, theta: Any, x0):
+    """Solve res_fn(theta, x) = 0 by Newton, with implicit-function VJP.
+
+    res_fn: (theta pytree, x [nr]) -> residual [nr]; must be differentiable.
+    newton_fn: (fn: x -> g, x0) -> x* — the nondifferentiable inner solver.
+    theta: all differentiable inputs of the residual (params, q0, qdot0, ...).
+    x0: initial guess (no gradient — the solution is independent of it).
+    """
+    return newton_fn(lambda x: res_fn(theta, x), x0)
+
+
+def _fwd(res_fn, newton_fn, theta, x0):
+    xstar = newton_fn(lambda x: res_fn(theta, x), x0)
+    return xstar, (theta, xstar)
+
+
+def _bwd(res_fn, newton_fn, saved, xbar):
+    theta, xstar = saved
+    # H = dg/dx at the solution; one transposed solve per step, the
+    # reference's LU-transpose reuse (TaskBDF1.m:66: z = U'\\(L'\\y)).
+    H = jax.jacfwd(lambda x: res_fn(theta, x))(xstar)
+    z = jnp.linalg.solve(H.T, xbar)
+    # thetabar = -(dg/dtheta)^T z via one VJP of the residual in theta.
+    _, vjp_theta = jax.vjp(lambda th: res_fn(th, xstar), theta)
+    (thetabar,) = vjp_theta(-z)
+    x0bar = jax.tree_util.tree_map(jnp.zeros_like, xstar)
+    return (thetabar, x0bar)
+
+
+implicit_solve.defvjp(_fwd, _bwd)

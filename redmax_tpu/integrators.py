@@ -28,6 +28,7 @@ from typing import Callable, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from redmax_tpu.adjoint import implicit_solve
 from redmax_tpu.model import assemble, reparam_all
 from redmax_tpu.types import State, Topology
 
@@ -192,14 +193,32 @@ def residual_bdf2(topo, force_fns, params: Dict, q2, q0, qdot0, q1, qdot1):
 # ---------------------------------------------------------------------------
 
 
-def make_bdf1_step(topo: Topology, force_fns: Tuple = (), cfg: NewtonConfig = NewtonConfig()):
-    """One BDF1 step: State -> State. Mirrors simLoop (driverRedMaxBDF1.m:57-92)."""
+def make_bdf1_step(
+    topo: Topology,
+    force_fns: Tuple = (),
+    cfg: NewtonConfig = NewtonConfig(),
+    differentiable: bool = False,
+):
+    """One BDF1 step: State -> State. Mirrors simLoop (driverRedMaxBDF1.m:57-92).
+
+    differentiable=True routes the Newton solve through the implicit-function
+    custom VJP (adjoint.py), enabling exact reverse-mode gradients through
+    rollouts — the TPU equivalent of the reference adjoint (TaskBDF1.m:45-81).
+    """
+    newton_fn = lambda fn, x0: newton(fn, x0, cfg)[0]
+
+    def _res(theta, q1):
+        params, q0, qdot0 = theta
+        return residual_bdf1(topo, force_fns, params, q1, q0, qdot0)
 
     def step(params: Dict, state: State) -> State:
         q0, qdot0 = state.q, state.qdot
         h = params["h"]
-        res = lambda q1: residual_bdf1(topo, force_fns, params, q1, q0, qdot0)
-        q1, _ = newton(res, q0 + h * qdot0, cfg)
+        if differentiable:
+            q1 = implicit_solve(_res, newton_fn, (params, q0, qdot0), q0 + h * qdot0)
+        else:
+            res = lambda q1: residual_bdf1(topo, force_fns, params, q1, q0, qdot0)
+            q1, _ = newton(res, q0 + h * qdot0, cfg)
         qdot1 = (q1 - q0) / h
         q1, qdot1 = reparam_all(topo, q1, qdot1, params)
         return State(q=q1, qdot=qdot1)
@@ -217,20 +236,44 @@ class Bdf2State(NamedTuple):
     k: jnp.ndarray  # step counter (0 -> SDIRK2 bootstrap)
 
 
-def make_bdf2_step(topo: Topology, force_fns: Tuple = (), cfg: NewtonConfig = NewtonConfig()):
-    """One BDF2 step with SDIRK2 bootstrap at k=0 (driverRedMaxBDF2.m:64-124)."""
+def make_bdf2_step(
+    topo: Topology,
+    force_fns: Tuple = (),
+    cfg: NewtonConfig = NewtonConfig(),
+    differentiable: bool = False,
+):
+    """One BDF2 step with SDIRK2 bootstrap at k=0 (driverRedMaxBDF2.m:64-124).
+
+    differentiable=True: implicit-function custom VJP per solve (the
+    reference's 4-band backward recursion, TaskBDF2.m:55-106, emerges from
+    reverse-mode through the two-level Bdf2State carry).
+    """
+    newton_fn = lambda fn, x0: newton(fn, x0, cfg)[0]
+
+    def _solve(res_theta_fn, theta, x0):
+        if differentiable:
+            return implicit_solve(res_theta_fn, newton_fn, theta, x0)
+        return newton(lambda x: res_theta_fn(theta, x), x0, cfg)[0]
+
+    def _res_a(theta, qa):
+        params, q0, qdot0 = theta
+        return residual_sdirk2a(topo, force_fns, params, qa, q0, qdot0)
+
+    def _res_b(theta, q1):
+        params, q0, qdot0, qdota = theta
+        return residual_sdirk2b(topo, force_fns, params, q1, q0, qdot0, qdota)
+
+    def _res_2(theta, q2):
+        params, q0, qdot0, q1, qdot1 = theta
+        return residual_bdf2(topo, force_fns, params, q2, q0, qdot0, q1, qdot1)
 
     def sdirk_step(params: Dict, s: Bdf2State) -> Bdf2State:
         q0, qdot0 = s.q, s.qdot
         h = params["h"]
         a = SDIRK_ALPHA
-        res_a = lambda qa: residual_sdirk2a(topo, force_fns, params, qa, q0, qdot0)
-        qa, _ = newton(res_a, q0 + a * h * qdot0, cfg)
+        qa = _solve(_res_a, (params, q0, qdot0), q0 + a * h * qdot0)
         qdota = (qa - q0) / (a * h)
-        res_b = lambda q1: residual_sdirk2b(
-            topo, force_fns, params, q1, q0, qdot0, qdota
-        )
-        q1, _ = newton(res_b, qa + (1 - a) * h * qdota, cfg)
+        q1 = _solve(_res_b, (params, q0, qdot0, qdota), qa + (1 - a) * h * qdota)
         qdot1 = (q1 - q0 - (1 - a) * h * qdota) / (a * h)
         return Bdf2State(q=q1, qdot=qdot1, q_prev=q0, qdot_prev=qdot0, k=s.k + 1)
 
@@ -238,10 +281,7 @@ def make_bdf2_step(topo: Topology, force_fns: Tuple = (), cfg: NewtonConfig = Ne
         q0, qdot0 = s.q_prev, s.qdot_prev
         q1, qdot1 = s.q, s.qdot
         h = params["h"]
-        res = lambda q2: residual_bdf2(
-            topo, force_fns, params, q2, q0, qdot0, q1, qdot1
-        )
-        q2, _ = newton(res, q1 + h * qdot1, cfg)
+        q2 = _solve(_res_2, (params, q0, qdot0, q1, qdot1), q1 + h * qdot1)
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
         return Bdf2State(q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1)
 

@@ -1,0 +1,140 @@
+"""Trajectory optimization / MPC engine.
+
+The reference couples the adjoint method to MATLAB's fminunc for parameter
+optimization (driverRedMaxAdjointBDF1.m:15-62): params p are per-joint
+constant torques (TaskBDF1PointPos.applyStep, TaskBDF1PointPos.m:58-64), the
+objective is a terminal point-position cost plus regularization
+(TaskBDF1PointPos.m:67-107), and gradients come from the backward adjoint
+sweep (TaskBDF1.m:45-81).
+
+Here the whole pipeline is a pure jitted function: rollout = lax.scan of
+custom-VJP implicit steps (adjoint.py), objective = terminal cost, gradient
+= jax.grad, optimizer = fixed-iteration Adam / gradient descent (fminunc's
+quasi-Newton role), and everything vmaps over batches of tasks and shards
+over device meshes (parallel.py). One "MPC solve" = one forward rollout +
+one adjoint backward pass + one parameter update.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from redmax_tpu import integrators
+from redmax_tpu.model import forward_kinematics
+from redmax_tpu.types import State, Topology
+
+
+@dataclass(frozen=True)
+class PointPosTask:
+    """Terminal point-position task (TaskBDF1PointPos.m).
+
+    Objective: 0.5 * wp * |x_world(body, xlocal; T) - x_target|^2
+             + 0.5 * wreg * |p|^2
+    where p scales per-DOF constant torques: tau = pscale * p
+    (TaskBDF1PointPos.m:58-64 writes p * pscale into joint.tau each step).
+    """
+
+    body: int                      # body carrying the tracked point
+    wp: float = 1.0                # terminal position weight (wp in the ref)
+    wreg: float = 1e-6             # regularization weight (wreg)
+    pscale: float = 1.0            # torque scale (pscale)
+
+
+def make_rollout(
+    topo: Topology,
+    force_fns: Tuple,
+    nsteps: int,
+    integrator: str = "bdf2",
+    cfg: Optional[integrators.NewtonConfig] = None,
+):
+    """(params, p, state0) -> final State after nsteps with tau = pscale*p.
+
+    Returns the reduced State regardless of integrator (Bdf2State unwrapped).
+    """
+    cfg = cfg or integrators.NewtonConfig()
+    if integrator == "bdf1":
+        step = integrators.make_bdf1_step(topo, force_fns, cfg, differentiable=True)
+        init = lambda s0: s0
+        unwrap = lambda s: s
+    elif integrator == "bdf2":
+        step = integrators.make_bdf2_step(topo, force_fns, cfg, differentiable=True)
+        init = integrators.bdf2_init
+        unwrap = lambda s: State(q=s.q, qdot=s.qdot)
+    else:
+        raise ValueError(integrator)
+
+    def rollout(params: Dict, tau, state0: State):
+        params = dict(params)
+        params["tau"] = tau
+        sim = integrators.make_simulate(step, nsteps)
+        final = sim(params, init(state0))
+        return unwrap(final)
+
+    return rollout
+
+
+def make_objective(
+    topo: Topology,
+    force_fns: Tuple,
+    task: PointPosTask,
+    xlocal,
+    nsteps: int,
+    integrator: str = "bdf2",
+    cfg: Optional[integrators.NewtonConfig] = None,
+):
+    """(params, p, state0, x_target) -> scalar objective P.
+
+    Mirrors TaskBDF1PointPos.calcStep at the final step only (the reference
+    task also evaluates only at t* = tEnd; TaskBDF1PointPos.m:73-78).
+    """
+    rollout = make_rollout(topo, force_fns, nsteps, integrator, cfg)
+
+    def objective(params: Dict, p, state0: State, x_target):
+        final = rollout(params, task.pscale * p, state0)
+        kin = forward_kinematics(topo, params, final.q, final.qdot)
+        E = kin.E_wi[task.body]
+        xw = E[:3, :3] @ jnp.asarray(xlocal, dtype=final.q.dtype) + E[:3, 3]
+        dx = xw - x_target
+        return 0.5 * task.wp * jnp.dot(dx, dx) + 0.5 * task.wreg * jnp.dot(p, p)
+
+    return objective
+
+
+class MpcResult(NamedTuple):
+    p: Any          # optimized torque parameters
+    objective: Any  # final objective value
+    grad_norm: Any  # final gradient norm
+
+
+def make_mpc_solver(
+    objective_fn: Callable,
+    iters: int = 1,
+    lr: float = 1e-2,
+):
+    """Fixed-iteration gradient MPC solve (fminunc role, adjoint gradients).
+
+    (params, p0, state0, x_target) -> MpcResult. Adam with fixed iteration
+    count so the solver jits/vmaps/shards with static control flow.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(objective_fn, argnums=1)
+
+    def solve(params: Dict, p0, state0: State, x_target) -> MpcResult:
+        def body(carry, _):
+            p, opt_state = carry
+            val, g = grad_fn(params, p, state0, x_target)
+            updates, opt_state = opt.update(g, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt_state), (val, jnp.linalg.norm(g))
+
+        (p, _), (vals, gnorms) = jax.lax.scan(
+            body, (p0, opt.init(p0)), None, length=iters
+        )
+        return MpcResult(p=p, objective=vals[-1], grad_norm=gnorms[-1])
+
+    return solve

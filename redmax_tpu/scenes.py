@@ -348,6 +348,40 @@ def scene_100_adjoint(nbodies: int = 2) -> SceneBuilder:
     return b
 
 
+def scene_chain(
+    nlinks: int = 12,
+    link_len: float = 1.0,
+    density: float = 1.0,
+    stiffness: float = 0.0,
+    damping: float = 1.0,
+    h: float = 1e-2,
+    tEnd: float = 0.5,
+    grav=(0.0, 0.0, -980.0),
+) -> SceneBuilder:
+    """Parametric serial revolute chain (nlinks DOF) — the MPC benchmark
+    scene (BASELINE.json: 12-DOF chain) and the analogue of the reference's
+    procedural chain generator (c++/PCG/src/RigidBodyCreator.cpp loadChain).
+    Alternating y/z axes so the chain moves in 3D.
+    """
+    b = SceneBuilder(name=f"chain-{nlinks}", h=h, tEnd=tEnd, grav=grav)
+    sides = (link_len, 0.1 * link_len, 0.1 * link_len)
+    for i in range(nlinks):
+        body = b.body_cuboid(density, sides, E_ji=transl([link_len / 2, 0, 0]))
+        axis = (0, 1, 0) if i % 2 == 0 else (0, 0, 1)
+        j = b.joint(
+            JointType.REVOLUTE,
+            None if i == 0 else i - 1,
+            body,
+            E_pj=np.eye(4) if i == 0 else transl([link_len, 0, 0]),
+            axis=axis,
+        )
+        if stiffness:
+            b.set_stiffness(j, stiffness)
+        if damping:
+            b.set_damping(j, damping)
+    return b
+
+
 SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     0: scene_00_serial_chain,
     1: scene_01_revolute_axes,

@@ -1,0 +1,64 @@
+"""Adjoint-gradient checks, mirroring the reference's FD gradient test in
+driverRedMaxAdjointBDF1.m:47-61 (testGrad: adjoint dP/dp vs central FD).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from redmax_tpu import mpc
+from redmax_tpu.scenes import build_scene
+
+RNG = np.random.default_rng(7)
+
+
+def _setup(integrator, nsteps=10):
+    sc = build_scene(100)
+    task = mpc.PointPosTask(body=1, wp=1.0, wreg=1e-5, pscale=1e4)
+    xlocal = jnp.array([5.0, 0.0, 0.0])
+    obj = mpc.make_objective(
+        sc.topo, sc.force_fns, task, xlocal, nsteps, integrator
+    )
+    p = jnp.asarray(RNG.normal(size=sc.topo.nr))
+    target = jnp.array([8.0, 0.0, 4.0])
+    return sc, obj, p, target
+
+
+@pytest.mark.parametrize("integrator", ["bdf1", "bdf2"])
+def test_adjoint_grad_vs_fd(integrator):
+    sc, obj, p, target = _setup(integrator)
+    g = jax.grad(obj, argnums=1)(sc.params, p, sc.state0, target)
+    h = 1e-6
+    for i in range(sc.topo.nr):
+        dp = jnp.zeros_like(p).at[i].set(h)
+        fp = obj(sc.params, p + dp, sc.state0, target)
+        fm = obj(sc.params, p - dp, sc.state0, target)
+        fd = (fp - fm) / (2 * h)
+        assert abs(float(g[i]) - float(fd)) / max(abs(float(fd)), 1.0) < 1e-5
+
+
+def test_grad_wrt_physical_params():
+    """Differentiability extends to physical parameters (gravity) — beyond
+    the reference's torque-only tasks; enabled by full autodiff assembly."""
+    sc, obj, p, target = _setup("bdf1", nsteps=5)
+
+    def f(g3):
+        params = dict(sc.params)
+        params["g"] = g3
+        return obj(params, p, sc.state0, target)
+
+    g = jax.grad(f)(sc.params["g"])
+    h = 1e-5
+    for i in range(3):
+        dg = jnp.zeros(3).at[i].set(h)
+        fd = (f(sc.params["g"] + dg) - f(sc.params["g"] - dg)) / (2 * h)
+        assert abs(float(g[i]) - float(fd)) / max(abs(float(fd)), 1.0) < 1e-4
+
+
+def test_mpc_solver_reduces_objective():
+    sc, obj, p, target = _setup("bdf2", nsteps=10)
+    solve = mpc.make_mpc_solver(obj, iters=20, lr=0.05)
+    res = jax.jit(solve)(sc.params, p, sc.state0, target)
+    obj0 = obj(sc.params, p, sc.state0, target)
+    assert float(res.objective) < float(obj0)
