@@ -46,6 +46,11 @@ class NewtonConfig:
     # Perf-path alternative: fixed iteration count, full steps, no line search
     # (the adjoint driver already does this, driverRedMaxAdjointBDF1.m:133).
     fixed_iters: int = 0     # >0 enables fixed-iteration mode
+    # Chord (modified) Newton: evaluate the Hessian ONCE at the predictor and
+    # reuse it for all fixed iterations — one jacfwd per solve instead of one
+    # per iteration. Linear convergence, ample for h ~ 1e-2 with a good
+    # predictor; the adjoint VJP still uses the exact Hessian at the solution.
+    chord: bool = False
 
 
 class _NewtonCarry(NamedTuple):
@@ -65,12 +70,15 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig):
     jac_fn = jax.jacfwd(res_fn)
 
     if cfg.fixed_iters > 0:
-        def body(i, x):
-            g = res_fn(x)
-            H = jac_fn(x)
-            return x - jnp.linalg.solve(H, g)
-
-        x = jax.lax.fori_loop(0, cfg.fixed_iters, body, x0)
+        # Unrolled (fixed_iters is static and small) so XLA fuses freely.
+        x = x0
+        if cfg.chord:
+            lu, piv = jax.scipy.linalg.lu_factor(jac_fn(x0))
+            for _ in range(cfg.fixed_iters):
+                x = x - jax.scipy.linalg.lu_solve((lu, piv), res_fn(x))
+        else:
+            for _ in range(cfg.fixed_iters):
+                x = x - jnp.linalg.solve(jac_fn(x), res_fn(x))
         return x, {"iters": jnp.asarray(cfg.fixed_iters), "diverged": jnp.asarray(False)}
 
     def cond(c: _NewtonCarry):
@@ -285,15 +293,23 @@ def make_bdf2_step(
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
         return Bdf2State(q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1)
 
+    def _reparam(params, s_new):
+        q, qdot = reparam_all(topo, s_new.q, s_new.qdot, params)
+        return s_new._replace(q=q, qdot=qdot)
+
     def step(params: Dict, s: Bdf2State) -> Bdf2State:
         s_new = jax.lax.cond(
             s.k == 0,
             lambda: sdirk_step(params, s),
             lambda: bdf2_inner(params, s),
         )
-        q, qdot = reparam_all(topo, s_new.q, s_new.qdot, params)
-        return s_new._replace(q=q, qdot=qdot)
+        return _reparam(params, s_new)
 
+    # Split-phase access (make_simulate hoists the SDIRK bootstrap out of the
+    # scan: under vmap a lax.cond lowers to select and EXECUTES both branches
+    # every step — 3x the solves. See make_simulate(bdf2_parts=...)).
+    step.bootstrap = lambda params, s: _reparam(params, sdirk_step(params, s))
+    step.inner = lambda params, s: _reparam(params, bdf2_inner(params, s))
     return step
 
 
@@ -309,15 +325,33 @@ def bdf2_init(state: State) -> Bdf2State:
 
 def make_simulate(step_fn: Callable, nsteps: int, record: bool = False):
     """Roll a step function with lax.scan. Returns final state (and optional
-    per-step (q, qdot) history when record=True)."""
+    per-step (q, qdot) history when record=True).
+
+    If step_fn exposes .bootstrap/.inner (BDF2), the first step runs the
+    SDIRK2 bootstrap OUTSIDE the scan and the scan body is the pure BDF2
+    step — avoiding the both-branches cost of vmapped lax.cond.
+    """
+    split = hasattr(step_fn, "bootstrap") and nsteps >= 1
 
     def simulate(params: Dict, state0):
+        inner = step_fn.inner if split else step_fn
+
         def body(s, _):
-            s_new = step_fn(params, s)
+            s_new = inner(params, s)
             out = (s_new.q, s_new.qdot) if record else None
             return s_new, out
 
-        final, hist = jax.lax.scan(body, state0, None, length=nsteps)
+        if split:
+            state1 = step_fn.bootstrap(params, state0)
+            final, hist = jax.lax.scan(body, state1, None, length=nsteps - 1)
+            if record:
+                hist = jax.tree_util.tree_map(
+                    lambda first, rest: jnp.concatenate([first[None], rest]),
+                    (state1.q, state1.qdot),
+                    hist,
+                )
+        else:
+            final, hist = jax.lax.scan(body, state0, None, length=nsteps)
         return (final, hist) if record else final
 
     return simulate

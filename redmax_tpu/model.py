@@ -84,15 +84,13 @@ def forward_kinematics(topo: Topology, params: Dict, q, qdot) -> Kinematics:
     # E_pj = E0_pj @ Q (Joint.m:404: E_pj = E0_pj * Q)
     E_pj = params["E0_pj"] @ Q
 
-    # Level-synchronous world chain: all joints at one depth in parallel.
-    E_wj = jnp.zeros((N, 4, 4), dtype=dtype)
-    parent = np.array(topo.parent, dtype=np.int32)
-    for level in topo.levels:
-        lv = np.array(level, dtype=np.int32)
-        if topo.parent[level[0]] < 0:
-            E_wj = E_wj.at[lv].set(E_pj[lv])
-        else:
-            E_wj = E_wj.at[lv].set(E_wj[parent[lv]] @ E_pj[lv])
+    # World chain by static pointer doubling: O(log depth) rounds of one
+    # gather + one batched 4x4 matmul each (see Topology.doubling_rounds).
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (1, 4, 4))
+    E_ext = jnp.concatenate([E_pj, eye], axis=0)       # node N = world (I)
+    for ptr in topo.doubling_rounds():
+        E_ext = E_ext[ptr] @ E_ext
+    E_wj = E_ext[:N]
 
     E_wi = E_wj @ params["E0_ji"]
     return Kinematics(Q=Q, E_wj=E_wj, E_wi=E_wi, S=S, Sdot=Sdot)
@@ -101,36 +99,52 @@ def forward_kinematics(topo: Topology, params: Dict, q, qdot) -> Kinematics:
 def jacobians(topo: Topology, params: Dict, kin: Kinematics, qdot):
     """Dense J, Jdot in [nm, nr], plus body twists phi [N, 6].
 
-    Closed-form replacement for Joint.computeJacobian (Joint.m:490-613).
+    Closed-form replacement for Joint.computeJacobian (Joint.m:490-613),
+    in world-frame column form (no O(N^2) pairwise tensors — the hot path
+    under jacfwd, where every intermediate is multiplied by nr tangents):
+
+        column r (DOF d of joint a):  W[:, r] = Ad(E_w,body_a) Sb_a[:, d]
+        J[i, r] = anc(i, a) * Ad(E_i<-w) W[:, r]
+
+    and the time derivatives follow from d/dt Ad(E_wa) = Ad(E_wa) ad(phi_a),
+    d/dt Ad(E_iw) = -ad(phi_i) Ad(E_iw):
+
+        Wdot[:, r] = Ad(E_w,body_a) (ad(phi_a) Sb + Sbdot)[:, d]
+        Jdot[i, r] = anc * (Ad_iw Wdot[:, r]) - ad(phi_i) J[i, r].
     """
     N = topo.njoints
-    anc = jnp.asarray(topo.ancestor_mask(), dtype=kin.S.dtype)
-    C = jnp.asarray(topo.col_onehot(), dtype=kin.S.dtype)
-
-    E_iw = se3.inv(kin.E_wi)
-    # Pairwise relative transforms E_{Bi<-Ba} and their adjoints.
-    E_rel = E_iw[:, None] @ kin.E_wi[None, :]        # [N,N,4,4]
-    X = se3.Ad(E_rel)                                 # [N,N,6,6]
+    dtype = kin.S.dtype
+    dofj = topo.dof_joint()                            # [nr] owning joint
+    dofd = np.concatenate(
+        [np.arange(topo.ndof[j]) for j in range(N) if topo.ndof[j]]
+    ).astype(np.int32) if topo.nr else np.zeros(0, np.int32)
+    ancd = jnp.asarray(topo.ancestor_mask()[:, dofj], dtype=dtype)  # [N, nr]
 
     A0_ij = se3.Ad(se3.inv(params["E0_ji"]))          # Body.m: A0_ij = Ad(E0_ij)
-    Sb = A0_ij @ kin.S                                # [N,6,dmax]
+    Sb = A0_ij @ kin.S                                # [N,6,dmax] body-frame S
     Sbdot = A0_ij @ kin.Sdot
 
-    Jblk = anc[:, :, None, None] * jnp.einsum("iakl,ald->iakd", X, Sb)
-    J = jnp.einsum("iakd,adr->ikr", Jblk, C).reshape(6 * N, topo.nr)
+    Ad_wb = se3.Ad(kin.E_wi)                          # [N,6,6] body->world
+    Ad_bw = se3.Ad(se3.inv(kin.E_wi))                 # [N,6,6] world->body
+
+    # World-frame subspace columns: W[r] = Ad_wb[dofj[r]] @ Sb[dofj[r], :, dofd[r]]
+    Sb_cols = Sb[dofj, :, dofd]                       # [nr,6]
+    W = jnp.einsum("rkl,rl->rk", Ad_wb[dofj], Sb_cols)  # [nr,6]
+
+    Jblk = ancd[:, None, :] * jnp.einsum("ikl,rl->ikr", Ad_bw, W)  # [N,6,nr]
+    J = Jblk.reshape(6 * N, topo.nr)
 
     phi = (J @ qdot).reshape(N, 6)                    # body twists (Body.m:79)
     adphi = se3.ad(phi)                               # [N,6,6]
 
-    # d/dt X[i,a] = X[i,a] ad(phi_a) - ad(phi_i) X[i,a]
-    Xdot = jnp.einsum("iakl,alm->iakm", X, adphi) - jnp.einsum(
-        "ikl,ialm->iakm", adphi, X
+    Sbdot_eff = jnp.einsum("akl,ald->akd", adphi, Sb) + Sbdot
+    Wdot = jnp.einsum(
+        "rkl,rl->rk", Ad_wb[dofj], Sbdot_eff[dofj, :, dofd]
+    )                                                 # [nr,6]
+    Jdotblk = ancd[:, None, :] * jnp.einsum("ikl,rl->ikr", Ad_bw, Wdot) - jnp.einsum(
+        "ikl,ilr->ikr", adphi, Jblk
     )
-    Jdotblk = anc[:, :, None, None] * (
-        jnp.einsum("iakl,ald->iakd", Xdot, Sb)
-        + jnp.einsum("iakl,ald->iakd", X, Sbdot)
-    )
-    Jdot = jnp.einsum("iakd,adr->ikr", Jdotblk, C).reshape(6 * N, topo.nr)
+    Jdot = Jdotblk.reshape(6 * N, topo.nr)
     return J, Jdot, phi
 
 

@@ -107,6 +107,24 @@ class Topology:
                 a = self.parent[a]
         return anc
 
+    def doubling_rounds(self) -> Tuple[np.ndarray, ...]:
+        """Static pointer-doubling schedule for the FK world chain.
+
+        Round k holds ptr_k[i] = the 2^k-th ancestor of joint i (or the
+        virtual world node N when exhausted). Composing
+        E[i] <- E[ptr_k[i]] @ E[i] for k = 0.. turns the reference's
+        root-to-leaf sweep (Joint.m:382-434, O(depth) sequential) into
+        O(log depth) batched 4x4 matmul rounds — the parallel-prefix-
+        over-the-kinematic-tree form (SURVEY.md section 2.11).
+        """
+        n = self.njoints
+        ptr = np.array([p if p >= 0 else n for p in self.parent] + [n], dtype=np.int32)
+        rounds = []
+        while np.any(ptr[:n] != n):
+            rounds.append(ptr.copy())
+            ptr = ptr[ptr]
+        return tuple(rounds)
+
     def dof_joint(self) -> np.ndarray:
         """Map each reduced DOF to its owning joint index: shape [nr]."""
         out = np.zeros(self.nr, dtype=np.int32)
