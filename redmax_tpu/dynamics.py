@@ -23,21 +23,21 @@ from redmax_tpu.model import assemble
 from redmax_tpu.types import Topology
 
 
-def compute_Mf(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
-    M, f, _ = assemble(topo, params, q, qdot, force_fns)
+def compute_Mf(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = (), aux=None):
+    M, f, _ = assemble(topo, params, q, qdot, force_fns, aux)
     return M, f
 
 
-def compute_values(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
+def compute_values(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = (), aux=None):
     """Full (M, f, dMdq, K, D) — the implicit-integrator quintuple."""
-    M, f, _ = assemble(topo, params, q, qdot, force_fns)
+    M, f, _ = assemble(topo, params, q, qdot, force_fns, aux)
 
     def Mf_q(qq):
-        Mq, fq, _ = assemble(topo, params, qq, qdot, force_fns)
+        Mq, fq, _ = assemble(topo, params, qq, qdot, force_fns, aux)
         return Mq, fq
 
     def f_qdot(qd):
-        _, fd, _ = assemble(topo, params, q, qd, force_fns)
+        _, fd, _ = assemble(topo, params, q, qd, force_fns, aux)
         return fd
 
     dMdq, K = jax.jacfwd(Mf_q)(q)        # [nr,nr,nr], [nr,nr]

@@ -29,7 +29,16 @@ import jax
 import jax.numpy as jnp
 
 from redmax_tpu.adjoint import implicit_solve
-from redmax_tpu.model import assemble, reparam_all
+from redmax_tpu.model import (
+    assemble,
+    closure_forces,
+    forward_kinematics,
+    jacobians,
+    joint_space_force,
+    maximal_force,
+    maximal_force_KD,
+    reparam_all,
+)
 from redmax_tpu.types import State, Topology
 
 SDIRK_ALPHA = (2.0 - math.sqrt(2.0)) / 2.0
@@ -157,42 +166,42 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig):
 # ---------------------------------------------------------------------------
 
 
-def _Mf(topo, params, q, qdot, force_fns):
-    M, f, _ = assemble(topo, params, q, qdot, force_fns)
+def _Mf(topo, params, q, qdot, force_fns, aux=None):
+    M, f, _ = assemble(topo, params, q, qdot, force_fns, aux)
     return M, f
 
 
-def residual_bdf1(topo, force_fns, params: Dict, q1, q0, qdot0):
+def residual_bdf1(topo, force_fns, params: Dict, q1, q0, qdot0, aux=None):
     h = params["h"]
     dqtmp = q1 - q0 - h * qdot0
     qdot1 = (q1 - q0) / h
-    M, f = _Mf(topo, params, q1, qdot1, force_fns)
+    M, f = _Mf(topo, params, q1, qdot1, force_fns, aux)
     return M @ dqtmp - h * h * f
 
 
-def residual_sdirk2a(topo, force_fns, params: Dict, qa, q0, qdot0):
+def residual_sdirk2a(topo, force_fns, params: Dict, qa, q0, qdot0, aux=None):
     ah = SDIRK_ALPHA * params["h"]
     dqtmp = qa - q0 - ah * qdot0
     qdota = (qa - q0) / ah
-    M, f = _Mf(topo, params, qa, qdota, force_fns)
+    M, f = _Mf(topo, params, qa, qdota, force_fns, aux)
     return M @ dqtmp - ah * ah * f
 
 
-def residual_sdirk2b(topo, force_fns, params: Dict, q1, q0, qdot0, qdota):
+def residual_sdirk2b(topo, force_fns, params: Dict, q1, q0, qdot0, qdota, aux=None):
     a = SDIRK_ALPHA
     h = params["h"]
     ah = a * h
     dqtmp = q1 - q0 - (2 * a - 1) * h * qdot0 - 2 * (1 - a) * h * qdota
     qdot1 = (q1 - q0 - (1 - a) * h * qdota) / ah
-    M, f = _Mf(topo, params, q1, qdot1, force_fns)
+    M, f = _Mf(topo, params, q1, qdot1, force_fns, aux)
     return M @ dqtmp - ah * ah * f
 
 
-def residual_bdf2(topo, force_fns, params: Dict, q2, q0, qdot0, q1, qdot1):
+def residual_bdf2(topo, force_fns, params: Dict, q2, q0, qdot0, q1, qdot1, aux=None):
     h = params["h"]
     dqtmp = q2 - (4 / 3) * q1 + (1 / 3) * q0 - (8 / 9) * h * qdot1 + (2 / 9) * h * qdot0
     qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
-    M, f = _Mf(topo, params, q2, qdot2, force_fns)
+    M, f = _Mf(topo, params, q2, qdot2, force_fns, aux)
     return M @ dqtmp - (4 / 9) * h * h * f
 
 
@@ -216,20 +225,22 @@ def make_bdf1_step(
     newton_fn = lambda fn, x0: newton(fn, x0, cfg)[0]
 
     def _res(theta, q1):
-        params, q0, qdot0 = theta
-        return residual_bdf1(topo, force_fns, params, q1, q0, qdot0)
+        params, q0, qdot0, aux = theta
+        return residual_bdf1(topo, force_fns, params, q1, q0, qdot0, aux)
 
     def step(params: Dict, state: State) -> State:
-        q0, qdot0 = state.q, state.qdot
+        q0, qdot0, aux = state.q, state.qdot, state.aux
         h = params["h"]
         if differentiable:
-            q1 = implicit_solve(_res, newton_fn, (params, q0, qdot0), q0 + h * qdot0)
+            q1 = implicit_solve(
+                _res, newton_fn, (params, q0, qdot0, aux), q0 + h * qdot0
+            )
         else:
-            res = lambda q1: residual_bdf1(topo, force_fns, params, q1, q0, qdot0)
+            res = lambda q1: residual_bdf1(topo, force_fns, params, q1, q0, qdot0, aux)
             q1, _ = newton(res, q0 + h * qdot0, cfg)
         qdot1 = (q1 - q0) / h
-        q1, qdot1 = reparam_all(topo, q1, qdot1, params)
-        return State(q=q1, qdot=qdot1)
+        q1, qdot1, aux, _, _ = reparam_all(topo, params, q1, qdot1, aux)
+        return State(q=q1, qdot=qdot1, aux=aux)
 
     return step
 
@@ -242,6 +253,7 @@ class Bdf2State(NamedTuple):
     q_prev: jnp.ndarray
     qdot_prev: jnp.ndarray
     k: jnp.ndarray  # step counter (0 -> SDIRK2 bootstrap)
+    aux: Dict = {}  # per-joint discrete state (euler charts)
 
 
 def make_bdf2_step(
@@ -264,38 +276,47 @@ def make_bdf2_step(
         return newton(lambda x: res_theta_fn(theta, x), x0, cfg)[0]
 
     def _res_a(theta, qa):
-        params, q0, qdot0 = theta
-        return residual_sdirk2a(topo, force_fns, params, qa, q0, qdot0)
+        params, q0, qdot0, aux = theta
+        return residual_sdirk2a(topo, force_fns, params, qa, q0, qdot0, aux)
 
     def _res_b(theta, q1):
-        params, q0, qdot0, qdota = theta
-        return residual_sdirk2b(topo, force_fns, params, q1, q0, qdot0, qdota)
+        params, q0, qdot0, qdota, aux = theta
+        return residual_sdirk2b(topo, force_fns, params, q1, q0, qdot0, qdota, aux)
 
     def _res_2(theta, q2):
-        params, q0, qdot0, q1, qdot1 = theta
-        return residual_bdf2(topo, force_fns, params, q2, q0, qdot0, q1, qdot1)
+        params, q0, qdot0, q1, qdot1, aux = theta
+        return residual_bdf2(topo, force_fns, params, q2, q0, qdot0, q1, qdot1, aux)
 
     def sdirk_step(params: Dict, s: Bdf2State) -> Bdf2State:
-        q0, qdot0 = s.q, s.qdot
+        q0, qdot0, aux = s.q, s.qdot, s.aux
         h = params["h"]
         a = SDIRK_ALPHA
-        qa = _solve(_res_a, (params, q0, qdot0), q0 + a * h * qdot0)
+        qa = _solve(_res_a, (params, q0, qdot0, aux), q0 + a * h * qdot0)
         qdota = (qa - q0) / (a * h)
-        q1 = _solve(_res_b, (params, q0, qdot0, qdota), qa + (1 - a) * h * qdota)
+        q1 = _solve(_res_b, (params, q0, qdot0, qdota, aux), qa + (1 - a) * h * qdota)
         qdot1 = (q1 - q0 - (1 - a) * h * qdota) / (a * h)
-        return Bdf2State(q=q1, qdot=qdot1, q_prev=q0, qdot_prev=qdot0, k=s.k + 1)
+        return Bdf2State(
+            q=q1, qdot=qdot1, q_prev=q0, qdot_prev=qdot0, k=s.k + 1, aux=aux
+        )
 
     def bdf2_inner(params: Dict, s: Bdf2State) -> Bdf2State:
         q0, qdot0 = s.q_prev, s.qdot_prev
-        q1, qdot1 = s.q, s.qdot
+        q1, qdot1, aux = s.q, s.qdot, s.aux
         h = params["h"]
-        q2 = _solve(_res_2, (params, q0, qdot0, q1, qdot1), q1 + h * qdot1)
+        q2 = _solve(_res_2, (params, q0, qdot0, q1, qdot1, aux), q1 + h * qdot1)
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
-        return Bdf2State(q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1)
+        return Bdf2State(
+            q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1, aux=aux
+        )
 
     def _reparam(params, s_new):
-        q, qdot = reparam_all(topo, s_new.q, s_new.qdot, params)
-        return s_new._replace(q=q, qdot=qdot)
+        q, qdot, aux, q_prev, qdot_prev = reparam_all(
+            topo, params, s_new.q, s_new.qdot, s_new.aux,
+            s_new.q_prev, s_new.qdot_prev,
+        )
+        return s_new._replace(
+            q=q, qdot=qdot, aux=aux, q_prev=q_prev, qdot_prev=qdot_prev
+        )
 
     def step(params: Dict, s: Bdf2State) -> Bdf2State:
         s_new = jax.lax.cond(
@@ -320,6 +341,7 @@ def bdf2_init(state: State) -> Bdf2State:
         q_prev=state.q,
         qdot_prev=state.qdot,
         k=jnp.zeros((), dtype=jnp.int32),
+        aux=state.aux,
     )
 
 
@@ -355,3 +377,104 @@ def make_simulate(step_fn: Callable, nsteps: int, record: bool = False):
         return (final, hist) if record else final
 
     return simulate
+
+
+# ---------------------------------------------------------------------------
+# Linearly-implicit (semi-implicit) Euler with constraints
+# ---------------------------------------------------------------------------
+
+
+def make_euler_step(
+    topo: Topology,
+    force_fns: Tuple = (),
+    constraint_fns: Tuple = (),
+    pgs_iters: int = 40,
+):
+    """One linearly-implicit Euler step (matlab/testRedMax.m:447-541).
+
+        Mrtilde qdot1 = frtilde,  q1 = q0 + h qdot1
+        frtilde = Mr qdot0 + h (J^T (f0_m - Mm Jdot qdot0) + f0_r)
+        Mrtilde = Mr - h J^T Dm J - h^2 J^T Km_sym J - h Dr - h^2 Kr
+
+    where f0 excludes damping forces (damping is one-sidedly implicit, the
+    reference discards the damping force and keeps only D: testRedMax.m:476
+    "use implicit damping"), Km is the SYMMETRIZED closure stiffness
+    (SpringPointPoint.m:169 symmetrizes), and Kr/Dr/Dm are raw jacfwd
+    derivatives (matching the reference's sign conventions after mapping
+    Dm_ref = -Dm_auto etc.).
+
+    Constraints: equality rows G qdot1 = -gdot - baum3 g via dense KKT;
+    with inequalities active, the dual PGS QP (qp.qp_pgs) replaces
+    quadprog (testRedMax.m:513-530). Baumgarte factors from
+    params["baumgarte"] (Scene.m:42, default [5 5 5]).
+    """
+    from redmax_tpu.constraints import assemble_constraints
+    from redmax_tpu.qp import kkt_solve, qp_pgs
+
+    def step(params: Dict, state: State) -> State:
+        q0, qdot0, aux = state.q, state.qdot, state.aux
+        h = params["h"]
+        dtype = q0.dtype
+        N = topo.njoints
+
+        kin = forward_kinematics(topo, params, q0, qdot0, aux)
+        J, Jdot, phi = jacobians(topo, params, kin, qdot0)
+
+        fr_full = joint_space_force(topo, params, q0, qdot0)
+        Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot0))(q0)
+        Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q0, qd))(qdot0)
+        f0_r = fr_full - Dr @ qdot0          # strip (linear) damping forces
+
+        fm_grav = maximal_force(topo, params, kin, phi)      # coriolis+gravity
+        _, fm_cl = closure_forces(topo, params, kin, phi, q0, qdot0, force_fns)
+        Km, Dm = maximal_force_KD(topo, params, kin, phi, q0, qdot0, force_fns)
+        Km = 0.5 * (Km + Km.T)
+        fm_el = fm_cl.reshape(-1) - Dm @ phi.reshape(-1)
+        f0_m = fm_grav.reshape(-1) + fm_el
+
+        Ivec = params["I_i"].reshape(-1)
+        MmJ = Ivec[:, None] * J
+        Mr = J.T @ MmJ
+        Mr = 0.5 * (Mr + Mr.T)
+        frtilde = Mr @ qdot0 + h * (
+            J.T @ (f0_m - Ivec * (Jdot @ qdot0)) + f0_r
+        )
+        Mrtilde = (
+            Mr
+            - h * (J.T @ (Dm @ J))
+            - h * h * (J.T @ (Km @ J))
+            - h * Dr
+            - h * h * Kr
+        )
+
+        if constraint_fns:
+            rows = assemble_constraints(
+                constraint_fns, params, topo, kin, phi, q0, qdot0, J
+            )
+            baum3 = params.get("baumgarte", jnp.array([5.0, 5.0, 5.0], dtype))[2]
+            me = rows["Geq"].shape[0]
+            mi = rows["Cin"].shape[0]
+            rhsG = -rows["geqdot"] - baum3 * rows["geq"]
+            if mi == 0:
+                qdot1, lam = kkt_solve(Mrtilde, rows["Geq"], frtilde, rhsG)
+            else:
+                act = rows["act"].astype(dtype)[:, None]
+                Cin = rows["Cin"] * act
+                rhsC = jnp.where(rows["act"], -baum3 * rows["cin"], 0.0)
+                A = jnp.concatenate([rows["Geq"], Cin], axis=0)
+                b = jnp.concatenate([rhsG, rhsC], axis=0)
+                inf = jnp.inf
+                lo = jnp.concatenate(
+                    [jnp.full(me, -inf, dtype), jnp.zeros(mi, dtype)]
+                )
+                hi_i = jnp.where(rows["act"], inf, 0.0)
+                hi = jnp.concatenate([jnp.full(me, inf, dtype), hi_i])
+                qdot1, lam = qp_pgs(Mrtilde, frtilde, A, b, lo, hi, pgs_iters)
+        else:
+            qdot1 = jnp.linalg.solve(Mrtilde, frtilde)
+
+        q1 = q0 + h * qdot1
+        q1, qdot1, aux, _, _ = reparam_all(topo, params, q1, qdot1, aux)
+        return State(q=q1, qdot=qdot1, aux=aux)
+
+    return step

@@ -24,7 +24,7 @@ from typing import Callable, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from redmax_tpu import se3
+from redmax_tpu import euler, se3
 from redmax_tpu.types import NDOF, JointType
 
 
@@ -122,6 +122,22 @@ def _Q_free2d(q, params):
     return se3.make_E(R, p)
 
 
+def _Q_spherical_euler(q, params):
+    # JointSpherical.update_ (matlab-diff/+redmax/JointSpherical.m:105-129):
+    # R from the joint's current Euler chart; the chart index is dynamic
+    # per-joint state delivered via params["chart"] (from State.aux).
+    # S = [T; 0] and all derivatives follow by AD of euler_R.
+    R = euler.euler_R(params["chart"], q)
+    return se3.make_E(R, jnp.zeros(3, dtype=q.dtype))
+
+
+def _Q_free3d_euler(q, params):
+    # JointFree3D.update_ (matlab-diff/+redmax/JointFree3D.m:34-66):
+    # Q = [R(q[3:6]) | p = q[0:3]] with the rotation from the Euler chart.
+    R = euler.euler_R(params["chart"], q[3:6])
+    return se3.make_E(R, q[0:3])
+
+
 def _Q_free3d(q, params):
     # JointFree3D (matlab-diff/+redmax/JointFree3D.m): composite of
     # JointTranslational (q[0:3]) then a ball joint (q[3:6], exp coords here
@@ -185,6 +201,10 @@ KERNELS: Dict[JointType, JointKernel] = {
     JointType.FREE3D: JointKernel(
         _Q_free3d, reparam_fn=_make_exp_reparam(slice(3, 6))
     ),
+    # Chart switching is handled by model.reparam_all (needs previous-step
+    # state and the chart aux), not by a per-kernel reparam_fn.
+    JointType.SPHERICAL_EULER: JointKernel(_Q_spherical_euler),
+    JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler),
 }
 
 

@@ -34,7 +34,7 @@ import numpy as np
 
 from redmax_tpu import se3
 from redmax_tpu.joints import KERNELS, joint_QSSdot, joint_reparam
-from redmax_tpu.types import MAX_NDOF, NDOF, JointType, Topology
+from redmax_tpu.types import EULER_CHART_TYPES, MAX_NDOF, NDOF, JointType, Topology
 
 
 class Kinematics(NamedTuple):
@@ -56,8 +56,12 @@ def joint_params_for(params: Dict, jt: int) -> Dict:
     return params.get("joint", {}).get(str(int(jt)), {})
 
 
-def forward_kinematics(topo: Topology, params: Dict, q, qdot) -> Kinematics:
-    """Evaluate all joint kernels + the world-transform chain."""
+def forward_kinematics(topo: Topology, params: Dict, q, qdot, aux=None) -> Kinematics:
+    """Evaluate all joint kernels + the world-transform chain.
+
+    aux: State.aux dict; delivers per-joint dynamic chart indices to the
+    SPHERICAL_EULER kernel (JointSpherical chart state).
+    """
     N = topo.njoints
     dtype = q.dtype
     Q = jnp.zeros((N, 4, 4), dtype=dtype)
@@ -71,6 +75,10 @@ def forward_kinematics(topo: Topology, params: Dict, q, qdot) -> Kinematics:
         qg = q[idx]          # [G, d]
         qdotg = qdot[idx]    # [G, d]
         pg = joint_params_for(params, jt)
+        if jt_enum in EULER_CHART_TYPES:
+            ej = topo.euler_joints()
+            sel = np.array([ej.index(m) for m in members], dtype=np.int32)
+            pg = {**pg, "chart": aux["euler_chart"][sel]}
         Qg, Sg, Sdotg = jax.vmap(
             partial(joint_QSSdot, jt_enum), in_axes=(0, 0, 0 if pg else None)
         )(qg, qdotg, pg)
@@ -183,7 +191,46 @@ def maximal_force(topo: Topology, params: Dict, kin: Kinematics, phi):
     return fcor + fgrav
 
 
-def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
+def closure_forces(
+    topo: Topology, params: Dict, kin: Kinematics, phi, q, qdot, force_fns: Tuple
+):
+    """Sum of the registered force closures: (fr_cl [nr], fm_cl [N,6])."""
+    N = topo.njoints
+    fr = jnp.zeros(topo.nr, dtype=q.dtype)
+    fm = jnp.zeros((N, 6), dtype=q.dtype)
+    for fn in force_fns:
+        fr_a, fm_a = fn(params, kin, None, phi, q, qdot)
+        fr = fr + fr_a
+        fm = fm + fm_a
+    return fr, fm
+
+
+def maximal_force_KD(
+    topo: Topology, params: Dict, kin: Kinematics, phi, q, qdot, force_fns: Tuple
+):
+    """Maximal stiffness/damping of the force closures: Km, Dm [6N, 6N].
+
+    Km = d fm / d xi with the body pose perturbed in its own frame
+    (E_wi <- E_wi exp(hat xi)) — the maximal-coordinate variation of
+    notes.pdf section 1.8; Dm = d fm / d phi. This replaces the hand-derived
+    spring Hessians (SpringPointPoint.computeFK dw blocks,
+    matlab/+redmax/SpringPointPoint.m:121-170) with exact jacfwd.
+    """
+    N = topo.njoints
+    dtype = q.dtype
+    z = jnp.zeros((N, 6), dtype=dtype)
+
+    def fm_of(xi, dphi):
+        kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+        _, fm = closure_forces(topo, params, kin2, phi + dphi, q, qdot, force_fns)
+        return fm
+
+    Km = jax.jacfwd(fm_of, argnums=0)(z, z).reshape(6 * N, 6 * N)
+    Dm = jax.jacfwd(fm_of, argnums=1)(z, z).reshape(6 * N, 6 * N)
+    return Km, Dm
+
+
+def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = (), aux=None):
     """Full reduced assembly: returns (M [nr,nr], f [nr], aux dict).
 
     The reference equivalent is computeValues (driverRedMaxBDF1.m:190-243)
@@ -194,7 +241,7 @@ def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
         fn(params, kin, J, phi, q, qdot) -> (fr_add [nr], fm_add [N,6])
     compiled from the scene's force list (forces.py).
     """
-    kin = forward_kinematics(topo, params, q, qdot)
+    kin = forward_kinematics(topo, params, q, qdot, aux)
     J, Jdot, phi = jacobians(topo, params, kin, qdot)
 
     fr = joint_space_force(topo, params, q, qdot)
@@ -213,7 +260,7 @@ def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
     return M, f, aux
 
 
-def energies(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
+def energies(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = (), aux=None):
     """Kinetic and potential energy (T, V).
 
     Mirrors Joint/Body.computeEnergies (Joint.m:616-637, Body.m:167-173):
@@ -221,7 +268,7 @@ def energies(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
       V = -sum_i m_i g . p_wi + 1/2 k (q - qrest)^2 + limit penalties
         + force energies.
     """
-    kin = forward_kinematics(topo, params, q, qdot)
+    kin = forward_kinematics(topo, params, q, qdot, aux)
     J, _, phi = jacobians(topo, params, kin, qdot)
     I = params["I_i"]
     T = 0.5 * jnp.sum(phi * (I * phi))
@@ -240,17 +287,44 @@ def energies(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = ()):
     return T, V
 
 
-def reparam_all(topo: Topology, q, qdot, params: Dict):
-    """Post-step reparameterization sweep (Joint.reparam, Joint.m:372-379)."""
+def reparam_all(
+    topo: Topology, params: Dict, q, qdot, aux=None, q_prev=None, qdot_prev=None
+):
+    """Post-step reparameterization sweep (Joint.reparam, Joint.m:372-379).
+
+    Exp-coordinate joints rescale in place; SPHERICAL_EULER joints run the
+    12-chart switch (euler.reparam_spherical), which also remaps the
+    previous-step state (q_prev/qdot_prev, for BDF2 — JointSpherical.m:96-103)
+    and updates the chart in aux. Returns (q, qdot, aux, q_prev, qdot_prev).
+    """
+    from redmax_tpu import euler as euler_mod
+
     for jt, members in topo.type_groups().items():
         jt_enum = JointType(jt)
+        idx = _type_q_indices(topo, jt, members)
+        if jt_enum in EULER_CHART_TYPES:
+            rot = EULER_CHART_TYPES[jt_enum]
+            ridx = idx[:, rot]
+            ej = topo.euler_joints()
+            sel = np.array([ej.index(m) for m in members], dtype=np.int32)
+            qp = q[ridx] if q_prev is None else q_prev[ridx]
+            qdp = qdot[ridx] if qdot_prev is None else qdot_prev[ridx]
+            ch, qg, qdotg, qpg, qdpg = jax.vmap(euler_mod.reparam_spherical)(
+                aux["euler_chart"][sel], q[ridx], qdot[ridx], qp, qdp
+            )
+            aux = {**aux, "euler_chart": aux["euler_chart"].at[sel].set(ch)}
+            q = q.at[ridx].set(qg)
+            qdot = qdot.at[ridx].set(qdotg)
+            if q_prev is not None:
+                q_prev = q_prev.at[ridx].set(qpg)
+                qdot_prev = qdot_prev.at[ridx].set(qdpg)
+            continue
         if KERNELS[jt_enum].reparam_fn is None:
             continue
-        idx = _type_q_indices(topo, jt, members)
         pg = joint_params_for(params, jt)
         qg, qdotg = jax.vmap(
             partial(joint_reparam, jt_enum), in_axes=(0, 0, 0 if pg else None)
         )(q[idx], qdot[idx], pg)
         q = q.at[idx].set(qg)
         qdot = qdot.at[idx].set(qdotg)
-    return q, qdot
+    return q, qdot, aux, q_prev, qdot_prev

@@ -62,7 +62,7 @@ def make_rollout(
     elif integrator == "bdf2":
         step = integrators.make_bdf2_step(topo, force_fns, cfg, differentiable=True)
         init = integrators.bdf2_init
-        unwrap = lambda s: State(q=s.q, qdot=s.qdot)
+        unwrap = lambda s: State(q=s.q, qdot=s.qdot, aux=s.aux)
     else:
         raise ValueError(integrator)
 
@@ -94,7 +94,7 @@ def make_objective(
 
     def objective(params: Dict, p, state0: State, x_target):
         final = rollout(params, task.pscale * p, state0)
-        kin = forward_kinematics(topo, params, final.q, final.qdot)
+        kin = forward_kinematics(topo, params, final.q, final.qdot, final.aux)
         E = kin.E_wi[task.body]
         xw = E[:3, :3] @ jnp.asarray(xlocal, dtype=final.q.dtype) + E[:3, 3]
         dx = xw - x_target

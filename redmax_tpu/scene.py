@@ -14,6 +14,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from redmax_tpu import constraints as con_mod
 from redmax_tpu import forces as forces_mod
 from redmax_tpu import integrators, model
 from redmax_tpu.types import NDOF, JointType, State, Topology
@@ -28,6 +29,7 @@ class _BodySpec:
     E_ji: np.ndarray             # [4,4] body wrt joint
     name: str = ""
     sides: Optional[np.ndarray] = None   # cuboid dimensions (contact needs them)
+    radius: Optional[float] = None       # sphere radius (floor contact)
 
 
 @dataclass
@@ -102,6 +104,8 @@ class SceneBuilder:
         self.bodies: List[_BodySpec] = []
         self.joints: List[_JointSpec] = []
         self.forces: List[Tuple[str, Any, Dict[str, np.ndarray]]] = []
+        self.constraints: List[Tuple[Any, Dict[str, np.ndarray]]] = []
+        self.baumgarte = np.array([5.0, 5.0, 5.0])  # Scene.m:42
         self.Hexpected: Dict[str, float] = {}
 
     # -- bodies ------------------------------------------------------------
@@ -122,6 +126,7 @@ class SceneBuilder:
             inertia=_np_inertia_sphere(radius, density),
             E_ji=np.eye(4) if E_ji is None else np.asarray(E_ji, dtype=np.float64),
             name=name,
+            radius=radius,
         )
         self.bodies.append(spec)
         return len(self.bodies) - 1
@@ -266,6 +271,81 @@ class SceneBuilder:
         """Register a custom force closure (see forces.py for the protocol)."""
         self.forces.append(("custom", force_obj, fparams))
 
+    # -- constraints -------------------------------------------------------
+    def _con_key(self) -> str:
+        return f"c{len(self.constraints)}"
+
+    def constraint_loop(self, bodyA, bodyB, xA, xB) -> None:
+        """Loop closure; body A's joint must be revolute (axis defines basis).
+        Reference: ConstraintLoop (matlab/+redmax/ConstraintLoop.m)."""
+        key = self._con_key()
+        axisA = self.joints[bodyA].params["axis"]
+        self.constraints.append(
+            (
+                con_mod.ConstraintLoop(key, bodyA, bodyB),
+                {
+                    "xA": np.asarray(xA, dtype=np.float64),
+                    "xB": np.asarray(xB, dtype=np.float64),
+                    "axisA": np.asarray(axisA, dtype=np.float64),
+                },
+            )
+        )
+
+    def constraint_joint_limit(self, joint: int, ql: float, qu: float) -> None:
+        key = self._con_key()
+        dof = sum(NDOF[self.joints[j].jtype] for j in range(joint))
+        self.constraints.append(
+            (
+                con_mod.ConstraintJointLimit(key, dof),
+                {"ql": np.float64(ql), "qu": np.float64(qu)},
+            )
+        )
+
+    def constraint_floor(self, body: int, E=None) -> None:
+        key = self._con_key()
+        radius = self.bodies[body].radius
+        assert radius is not None, "floor contact requires a sphere body"
+        self.constraints.append(
+            (
+                con_mod.ConstraintFloor(key, body),
+                {
+                    "E": np.eye(4) if E is None else np.asarray(E, dtype=np.float64),
+                    "radius": np.float64(radius),
+                },
+            )
+        )
+
+    def constraint_multq(self, jointA: int, jointB: int, factor: float) -> None:
+        key = self._con_key()
+        dofA = sum(NDOF[self.joints[j].jtype] for j in range(jointA))
+        dofB = sum(NDOF[self.joints[j].jtype] for j in range(jointB))
+        self.constraints.append(
+            (
+                con_mod.ConstraintMultQ(key, dofA, dofB),
+                {"factor": np.float64(factor)},
+            )
+        )
+
+    def constraint_presc_joint(self, joint: int, qdot_target) -> None:
+        key = self._con_key()
+        start = sum(NDOF[self.joints[j].jtype] for j in range(joint))
+        d = NDOF[self.joints[joint].jtype]
+        self.constraints.append(
+            (
+                con_mod.ConstraintPrescJoint(key, range(start, start + d)),
+                {"qdot_target": np.atleast_1d(np.asarray(qdot_target, np.float64))},
+            )
+        )
+
+    def constraint_presc_body(self, body: int, comps, phi_target) -> None:
+        key = self._con_key()
+        self.constraints.append(
+            (
+                con_mod.ConstraintPrescBody(key, body, comps),
+                {"phi_target": np.atleast_1d(np.asarray(phi_target, np.float64))},
+            )
+        )
+
     # -- compile -----------------------------------------------------------
     def compile(self, dtype=jnp.float64) -> "CompiledScene":
         N = len(self.joints)
@@ -333,7 +413,12 @@ class SceneBuilder:
             "qlimU": jnp.asarray(per_dof(lambda j: j.qlimU, _BIG), dtype=dtype),
             "qlimK": jnp.asarray(per_dof(lambda j: j.qlimK, _BIG), dtype=dtype),
             "qlimD": jnp.asarray(per_dof(lambda j: j.qlimD, 0.0), dtype=dtype),
+            "baumgarte": jnp.asarray(self.baumgarte, dtype=dtype),
             "joint": jt_params,
+            "constraints": {
+                obj.key: {k: jnp.asarray(v, dtype=dtype) for k, v in cp.items()}
+                for obj, cp in self.constraints
+            },
             "forces": {
                 obj.key if hasattr(obj, "key") else f"f{i}": {
                     k: jnp.asarray(v, dtype=dtype) for k, v in fp.items()
@@ -341,10 +426,21 @@ class SceneBuilder:
                 for i, (_, obj, fp) in enumerate(self.forces)
             },
         }
+        aux0: Dict[str, Any] = {}
+        euler_members = topo.euler_joints()
+        if euler_members:
+            from redmax_tpu.euler import DEFAULT_CHART
+
+            aux0["euler_chart"] = jnp.full(
+                len(euler_members), DEFAULT_CHART, dtype=jnp.int32
+            )
         state0 = State(
-            q=jnp.asarray(q0, dtype=dtype), qdot=jnp.asarray(qdot0, dtype=dtype)
+            q=jnp.asarray(q0, dtype=dtype),
+            qdot=jnp.asarray(qdot0, dtype=dtype),
+            aux=aux0,
         )
         force_fns = tuple(obj for _, obj, _ in self.forces)
+        constraint_fns = tuple(obj for obj, _ in self.constraints)
 
         # Rest-length auto-init from the initial configuration
         # (ForceSpringDamper.init_ / ForceCable.init_; called from Scene.init
@@ -353,7 +449,9 @@ class SceneBuilder:
             ft in ("spring_damper", "cable") and float(fp["L"]) == 0.0
             for ft, _, fp in self.forces
         ):
-            kin0 = model.forward_kinematics(topo, params, state0.q, state0.qdot)
+            kin0 = model.forward_kinematics(
+                topo, params, state0.q, state0.qdot, state0.aux
+            )
 
             def world_pt(b, xl):
                 if b < 0:
@@ -379,6 +477,7 @@ class SceneBuilder:
             params=params,
             state0=state0,
             force_fns=force_fns,
+            constraint_fns=constraint_fns,
             h=self.h,
             tEnd=self.tEnd,
             Hexpected=dict(self.Hexpected),
@@ -392,6 +491,7 @@ class CompiledScene:
     params: Dict[str, Any]
     state0: State
     force_fns: Tuple
+    constraint_fns: Tuple
     h: float
     tEnd: float
     Hexpected: Dict[str, float]
@@ -401,11 +501,13 @@ class CompiledScene:
         return math.ceil(self.tEnd / self.h)
 
     # Convenience evaluators (unjitted; wrap in jax.jit at call sites/tests).
-    def assemble(self, q, qdot):
-        return model.assemble(self.topo, self.params, q, qdot, self.force_fns)
+    def assemble(self, q, qdot, aux=None):
+        aux = self.state0.aux if aux is None else aux
+        return model.assemble(self.topo, self.params, q, qdot, self.force_fns, aux)
 
-    def energies(self, q, qdot):
-        return model.energies(self.topo, self.params, q, qdot, self.force_fns)
+    def energies(self, q, qdot, aux=None):
+        aux = self.state0.aux if aux is None else aux
+        return model.energies(self.topo, self.params, q, qdot, self.force_fns, aux)
 
     def make_step(self, integrator="bdf1", cfg: Optional[integrators.NewtonConfig] = None):
         cfg = cfg or integrators.NewtonConfig()
@@ -413,6 +515,10 @@ class CompiledScene:
             return integrators.make_bdf1_step(self.topo, self.force_fns, cfg)
         if integrator == "bdf2":
             return integrators.make_bdf2_step(self.topo, self.force_fns, cfg)
+        if integrator == "euler":
+            return integrators.make_euler_step(
+                self.topo, self.force_fns, self.constraint_fns
+            )
         raise ValueError(integrator)
 
     def initial_state(self, integrator="bdf1"):

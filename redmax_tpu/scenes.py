@@ -219,8 +219,7 @@ def scene_09_free3d(exp_coords: bool = True) -> SceneBuilder:
     b = SceneBuilder(name="Free3D joint", h=5e-2, tEnd=6.0, grav=(0, 0, -1))
     if not exp_coords:
         b.Hexpected = {"bdf1": 4.3970920953724946e00, "bdf2": 4.5466508559364156e00}
-    # TODO(euler-charts): FREE3D with Euler-chart rotation for exact parity.
-    jt = JointType.FREE3D
+    jt = JointType.FREE3D if exp_coords else JointType.FREE3D_EULER
     b0 = b.body_cuboid(1.0, (1, 1, 1))
     # At q=0 both charts have S_rot = I, so qdot carries over directly.
     b.joint(jt, None, b0, qdot=[0, 0, 3, 0.2, 0.4, 0.6])

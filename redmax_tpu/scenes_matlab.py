@@ -1,0 +1,158 @@
+"""Scene zoo ports from the feature-rich matlab variant (testRedMaxScenes.m).
+
+These scenes exercise the semi-implicit ("linearly-implicit") Euler path and
+the constraint subsystem; each stores the reference's REDMAX_EULER energy
+certificate (Hexpected row 3 in testRedMaxScenes.m, |dH| <= 1e-2 gate at
+matlab/testRedMax.m:170-177). Defaults per matlab/+redmax/Scene.m:29-53:
+tspan [0,2], hEuler 1e-2, grav [0,0,-980], baumgarte [5,5,5], density 1.
+"""
+
+import math
+from typing import Callable, Dict
+
+import numpy as np
+
+from redmax_tpu.scene import CompiledScene, SceneBuilder, transl
+from redmax_tpu.types import JointType
+
+
+def mscene_m1() -> SceneBuilder:
+    """case -1: two-link chain, q = [pi/2, pi/4]."""
+    b = SceneBuilder(name="Simpler serial chain", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -3697.4545694454454861}
+    qs = [math.pi / 2, math.pi / 4]
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE,
+            None if i == 0 else i - 1,
+            body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+            axis=(0, 1, 0),
+            q=[qs[i]],
+        )
+    return b
+
+
+def mscene_00() -> SceneBuilder:
+    """case 0: 5-cuboid chain, alternating revolute/fixed, tEnd=2."""
+    b = SceneBuilder(name="Simple serial chain", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -5930.8171118834870867}
+    for i in range(5):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        E_pj = np.eye(4) if i == 0 else transl([10, 0, 0])
+        if i % 2 == 0:
+            b.joint(
+                JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=E_pj, axis=(0, 1, 0), q=[math.pi / 4],
+            )
+        else:
+            b.joint(JointType.FIXED, i - 1, body, E_pj=E_pj)
+    return b
+
+
+def mscene_01() -> SceneBuilder:
+    """case 1: revolute axes z/y/z, q = [0, pi/2, pi/2]."""
+    b = SceneBuilder(name="Different revolute axes", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -9423.2594023734018265}
+    axes = [(0, 0, 1), (0, 1, 0), (0, 0, 1)]
+    qs = [0.0, math.pi / 2, math.pi / 2]
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+            axis=axes[i], q=[qs[i]],
+        )
+    return b
+
+
+def mscene_04() -> SceneBuilder:
+    """case 4: four-bar loop closed with ConstraintLoop, qdot5 = 5."""
+    b = SceneBuilder(name="Loop", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 3987.2011847696289806}
+    sides = [(20, 1, 1), (1, 1, 10), (1, 1, 10), (20, 1, 1), (1, 1, 10)]
+    E_ji = [np.eye(4), transl([0, 0, -5]), transl([0, 0, -5]),
+            transl([10, 0, 0]), transl([0, 0, -5])]
+    E_pj = [np.eye(4), transl([-10, 0, 0]), transl([10, 0, 0]),
+            transl([0, 0, -10]), transl([10, 0, 0])]
+    parents = [None, 0, 0, 1, 3]
+    for i in range(5):
+        body = b.body_cuboid(1.0, sides[i], E_ji=E_ji[i])
+        if i == 0:
+            b.joint(JointType.FIXED, None, body, E_pj=E_pj[i])
+        else:
+            qdot = [5.0] if i == 4 else [0.0]
+            b.joint(JointType.REVOLUTE, parents[i], body, E_pj=E_pj[i],
+                    axis=(0, 1, 0), qdot=qdot)
+    b.constraint_loop(2, 3, [0, 0, -5], [10, 0, 0])
+    return b
+
+
+def mscene_06() -> SceneBuilder:
+    """case 6: two-link chain with QP joint limits on joint 2."""
+    b = SceneBuilder(name="Joint limits (QP)", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 36957.4447830002754927}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0),
+        )
+        if i > 0:
+            b.constraint_joint_limit(i, -math.pi / 4, math.pi / 4)
+    return b
+
+
+def mscene_07() -> SceneBuilder:
+    """case 7: three-link chain with gear constraints q_{i} = 0.5 q_{i-1}."""
+    b = SceneBuilder(name="Equality constrained angles", h=2e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 42645.1541420989669859}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0),
+        )
+        if i > 0:
+            b.constraint_multq(i - 1, i, 0.5)
+    return b
+
+
+def mscene_08() -> SceneBuilder:
+    """case 8: 'Equality and loop' — 7 bodies, ConstraintLoop + MultQ."""
+    b = SceneBuilder(name="Equality and loop", h=2e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 14677.4348748325592169}
+    sides = [(10, 1, 1), (1, 1, 10), (1, 1, 10), (10, 1, 1),
+             (1, 1, 10), (1, 1, 10), (1, 1, 10)]
+    E_ji = [np.eye(4), transl([0, 0, -5]), transl([0, 0, -5]), transl([-5, 0, 0]),
+            transl([0, 0, 5]), transl([0, 0, 5]), transl([0, 0, -5])]
+    E_pj = [np.eye(4), transl([5, 0, 0]), transl([0, 0, -10]), transl([0, 0, -10]),
+            transl([-10, 0, 0]), transl([0, 0, 10]), transl([-5, 0, 0])]
+    parents = [None, 0, 1, 2, 3, 4, 3]
+    for i in range(7):
+        body = b.body_cuboid(1.0, sides[i], E_ji=E_ji[i])
+        if i == 0:
+            b.joint(JointType.FIXED, None, body, E_pj=E_pj[i])
+        else:
+            qdot = [10.0] if i == 6 else [0.0]
+            b.joint(JointType.REVOLUTE, parents[i], body, E_pj=E_pj[i],
+                    axis=(0, 1, 0), qdot=qdot)
+    b.constraint_loop(5, 0, [0, 0, 5], [-5, 0, 0])
+    b.constraint_multq(2, 5, 0.5)
+    return b
+
+
+M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
+    -1: mscene_m1,
+    0: mscene_00,
+    1: mscene_01,
+    4: mscene_04,
+    6: mscene_06,
+    7: mscene_07,
+    8: mscene_08,
+}
+
+
+def build_mscene(sid: int, **kw) -> CompiledScene:
+    return M_SCENES[sid](**kw).compile()

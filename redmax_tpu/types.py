@@ -42,6 +42,7 @@ class JointType(enum.IntEnum):
     FREE3D = 8         # matlab-diff/+redmax/JointFree3D.m (trans + spherical)
     SPHERICAL_EULER = 9  # matlab-diff/+redmax/JointSpherical.m (12 Euler charts)
     SPLINE_CURVE = 10  # matlab/+redmax/JointSplineCurve.m (cubic B-spline curve)
+    FREE3D_EULER = 11  # matlab-diff/+redmax/JointFree3D.m (trans + Euler spherical)
 
 
 NDOF: Dict[JointType, int] = {
@@ -56,6 +57,14 @@ NDOF: Dict[JointType, int] = {
     JointType.FREE3D: 6,
     JointType.SPHERICAL_EULER: 3,
     JointType.SPLINE_CURVE: 1,
+    JointType.FREE3D_EULER: 6,
+}
+
+# Joint types carrying a dynamic Euler chart index in State.aux["euler_chart"],
+# with the slice of q holding the chart angles.
+EULER_CHART_TYPES = {
+    JointType.SPHERICAL_EULER: slice(0, 3),
+    JointType.FREE3D_EULER: slice(3, 6),
 }
 
 MAX_NDOF = 6
@@ -125,6 +134,12 @@ class Topology:
             ptr = ptr[ptr]
         return tuple(rounds)
 
+    def euler_joints(self) -> Tuple[int, ...]:
+        """Joint indices (ascending) that carry a chart in aux["euler_chart"]."""
+        return tuple(
+            i for i, t in enumerate(self.jtype) if JointType(t) in EULER_CHART_TYPES
+        )
+
     def dof_joint(self) -> np.ndarray:
         """Map each reduced DOF to its owning joint index: shape [nr]."""
         out = np.zeros(self.nr, dtype=np.int32)
@@ -154,15 +169,22 @@ class Topology:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["q", "qdot"],
+    data_fields=["q", "qdot", "aux"],
     meta_fields=[],
 )
 @dataclass
 class State:
-    """Reduced-coordinate state. q, qdot: shape [..., nr] (leading batch dims)."""
+    """Reduced-coordinate state. q, qdot: shape [..., nr] (leading batch dims).
+
+    aux: dict of per-joint-type discrete state that must thread through
+    steps — currently {"euler_chart": int32 [n_spherical_euler]} for
+    chart-switching ball joints (JointSpherical.m chart/chart0/chart1).
+    Empty dict when no joint needs it.
+    """
 
     q: Any
     qdot: Any
+    aux: Any = field(default_factory=dict)
 
 
 # SceneParams is a nested dict pytree with this layout (all arrays, leading

@@ -15,10 +15,16 @@ import pytest
 from redmax_tpu import integrators
 from redmax_tpu.scenes import SCENES, build_scene
 
-# Scenes with exact certificate parity today. 7/9 need Euler-chart ball
-# joints (exp-coordinate variants exist but change the discretization);
-# 11 (ground contact) is covered in test_contact.py with its own tolerance.
+# Scenes with exact certificate parity. 7/9 run the Euler-chart ball joints
+# (JointSpherical 12-chart switching) for parity with the reference;
+# 11 (ground contact, h=5e-4 -> 1200 steps) is the slowest — kept last.
 CERT_SCENES = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 13, 14]
+
+
+def build_cert_scene(sid):
+    if sid in (7, 9):
+        return build_scene(sid, exp_coords=False)
+    return build_scene(sid)
 
 
 def run_H(sc, integrator: str) -> float:
@@ -26,21 +32,21 @@ def run_H(sc, integrator: str) -> float:
     step = sc.make_step(integrator)
     sim = jax.jit(integrators.make_simulate(step, sc.nsteps))
     final = sim(sc.params, sc.initial_state(integrator))
-    T, V = sc.energies(final.q, final.qdot)
+    T, V = sc.energies(final.q, final.qdot, final.aux)
     return float(T) + float(V) - float(V0)
 
 
-@pytest.mark.parametrize("sid", CERT_SCENES)
+@pytest.mark.parametrize("sid", CERT_SCENES + [7, 9])
 def test_bdf1_certificate(sid):
-    sc = build_scene(sid)
+    sc = build_cert_scene(sid)
     H = run_H(sc, "bdf1")
     expected = sc.Hexpected["bdf1"]
     assert abs(H - expected) <= 1e-2, f"scene {sid}: H={H!r} vs {expected!r}"
 
 
-@pytest.mark.parametrize("sid", CERT_SCENES)
+@pytest.mark.parametrize("sid", CERT_SCENES + [7, 9])
 def test_bdf2_certificate(sid):
-    sc = build_scene(sid)
+    sc = build_cert_scene(sid)
     H = run_H(sc, "bdf2")
     expected = sc.Hexpected["bdf2"]
     assert abs(H - expected) <= 1e-2, f"scene {sid}: H={H!r} vs {expected!r}"
