@@ -20,38 +20,50 @@ the (q, qdot, q_prev, qdot_prev) carry.
 
 ``implicit_solve`` wraps the damped-Newton solver from integrators.py with
 this custom VJP; the Newton iteration itself (a lax.while_loop) is never
-differentiated through.
+differentiated through. ``hess_fn`` optionally supplies a structured
+approximation of H for the backward solve (model.structured_hessian) —
+exact residual VJP against an approximate H^T gives gradients with
+O(||H - H~||/||H||) relative bias, the fast path for MPC at scale.
 """
 
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def implicit_solve(res_fn: Callable, newton_fn: Callable, theta: Any, x0):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def implicit_solve(
+    res_fn: Callable, newton_fn: Callable, hess_fn: Optional[Callable], theta: Any, x0
+):
     """Solve res_fn(theta, x) = 0 by Newton, with implicit-function VJP.
 
     res_fn: (theta pytree, x [nr]) -> residual [nr]; must be differentiable.
-    newton_fn: (fn: x -> g, x0) -> x* — the nondifferentiable inner solver.
+    newton_fn: (fn: x -> g, jac_or_None, x0) -> x* — the inner solver.
+    hess_fn: optional (theta, x) -> H approximation used for the backward
+        transposed solve; None -> exact jacfwd of res_fn.
     theta: all differentiable inputs of the residual (params, q0, qdot0, ...).
     x0: initial guess (no gradient — the solution is independent of it).
     """
-    return newton_fn(lambda x: res_fn(theta, x), x0)
+    jac = (lambda x: hess_fn(theta, x)) if hess_fn is not None else None
+    return newton_fn(lambda x: res_fn(theta, x), jac, x0)
 
 
-def _fwd(res_fn, newton_fn, theta, x0):
-    xstar = newton_fn(lambda x: res_fn(theta, x), x0)
+def _fwd(res_fn, newton_fn, hess_fn, theta, x0):
+    jac = (lambda x: hess_fn(theta, x)) if hess_fn is not None else None
+    xstar = newton_fn(lambda x: res_fn(theta, x), jac, x0)
     return xstar, (theta, xstar)
 
 
-def _bwd(res_fn, newton_fn, saved, xbar):
+def _bwd(res_fn, newton_fn, hess_fn, saved, xbar):
     theta, xstar = saved
     # H = dg/dx at the solution; one transposed solve per step, the
     # reference's LU-transpose reuse (TaskBDF1.m:66: z = U'\\(L'\\y)).
-    H = jax.jacfwd(lambda x: res_fn(theta, x))(xstar)
+    if hess_fn is None:
+        H = jax.jacfwd(lambda x: res_fn(theta, x))(xstar)
+    else:
+        H = hess_fn(theta, xstar)
     z = jnp.linalg.solve(H.T, xbar)
     # thetabar = -(dg/dtheta)^T z via one VJP of the residual in theta.
     _, vjp_theta = jax.vjp(lambda th: res_fn(th, xstar), theta)

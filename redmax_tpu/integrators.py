@@ -38,6 +38,7 @@ from redmax_tpu.model import (
     maximal_force,
     maximal_force_KD,
     reparam_all,
+    structured_hessian,
 )
 from redmax_tpu.types import State, Topology
 
@@ -60,6 +61,11 @@ class NewtonConfig:
     # per iteration. Linear convergence, ample for h ~ 1e-2 with a good
     # predictor; the adjoint VJP still uses the exact Hessian at the solution.
     chord: bool = False
+    # Newton-matrix mode: "exact" (jacfwd of the residual) or "structured"
+    # (model.structured_hessian — no dJ/dq terms, no tangent blowup; residual
+    # stays exact so the solution is unchanged, only the convergence rate).
+    # Applies to the chord matrix AND the adjoint backward solve.
+    hessian: str = "exact"
 
 
 class _NewtonCarry(NamedTuple):
@@ -70,13 +76,15 @@ class _NewtonCarry(NamedTuple):
     diverged: jnp.ndarray
 
 
-def newton(res_fn: Callable, x0, cfg: NewtonConfig):
+def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
     """Damped Newton with backtracking line search; vmap-safe via done masks.
 
     res_fn: x [nr] -> g [nr]. Returns (x, info dict).
+    jac_fn: optional Newton-matrix override (structured Hessian).
     """
     iter_max = cfg.iter_max if cfg.iter_max > 0 else 10 * x0.shape[-1]
-    jac_fn = jax.jacfwd(res_fn)
+    if jac_fn is None:
+        jac_fn = jax.jacfwd(res_fn)
 
     if cfg.fixed_iters > 0:
         # Unrolled (fixed_iters is static and small) so XLA fuses freely.
@@ -206,6 +214,59 @@ def residual_bdf2(topo, force_fns, params: Dict, q2, q0, qdot0, q1, qdot1, aux=N
 
 
 # ---------------------------------------------------------------------------
+# Structured Newton matrices (see model.structured_hessian)
+# ---------------------------------------------------------------------------
+
+
+def _hess_bdf1(topo, force_fns):
+    def hess(theta, q1):
+        params, q0, qdot0, aux = theta
+        h = params["h"]
+        return structured_hessian(
+            topo, params, q1, (q1 - q0) / h, -h * h, -h, force_fns, aux
+        )
+
+    return hess
+
+
+def _hess_sdirk2a(topo, force_fns):
+    def hess(theta, qa):
+        params, q0, qdot0, aux = theta
+        ah = SDIRK_ALPHA * params["h"]
+        return structured_hessian(
+            topo, params, qa, (qa - q0) / ah, -ah * ah, -ah, force_fns, aux
+        )
+
+    return hess
+
+
+def _hess_sdirk2b(topo, force_fns):
+    def hess(theta, q1):
+        params, q0, qdot0, qdota, aux = theta
+        a = SDIRK_ALPHA
+        h = params["h"]
+        ah = a * h
+        qdot1 = (q1 - q0 - (1 - a) * h * qdota) / ah
+        return structured_hessian(
+            topo, params, q1, qdot1, -ah * ah, -ah, force_fns, aux
+        )
+
+    return hess
+
+
+def _hess_bdf2(topo, force_fns):
+    def hess(theta, q2):
+        params, q0, qdot0, q1, qdot1, aux = theta
+        h = params["h"]
+        qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
+        return structured_hessian(
+            topo, params, q2, qdot2, -(4 / 9) * h * h, -(2 / 3) * h, force_fns, aux
+        )
+
+    return hess
+
+
+# ---------------------------------------------------------------------------
 # Step factories
 # ---------------------------------------------------------------------------
 
@@ -222,7 +283,8 @@ def make_bdf1_step(
     custom VJP (adjoint.py), enabling exact reverse-mode gradients through
     rollouts — the TPU equivalent of the reference adjoint (TaskBDF1.m:45-81).
     """
-    newton_fn = lambda fn, x0: newton(fn, x0, cfg)[0]
+    newton_fn = lambda fn, jac, x0: newton(fn, x0, cfg, jac_fn=jac)[0]
+    hess_fn = _hess_bdf1(topo, force_fns) if cfg.hessian == "structured" else None
 
     def _res(theta, q1):
         params, q0, qdot0, aux = theta
@@ -231,13 +293,13 @@ def make_bdf1_step(
     def step(params: Dict, state: State) -> State:
         q0, qdot0, aux = state.q, state.qdot, state.aux
         h = params["h"]
+        theta = (params, q0, qdot0, aux)
         if differentiable:
-            q1 = implicit_solve(
-                _res, newton_fn, (params, q0, qdot0, aux), q0 + h * qdot0
-            )
+            q1 = implicit_solve(_res, newton_fn, hess_fn, theta, q0 + h * qdot0)
         else:
+            jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
             res = lambda q1: residual_bdf1(topo, force_fns, params, q1, q0, qdot0, aux)
-            q1, _ = newton(res, q0 + h * qdot0, cfg)
+            q1, _ = newton(res, q0 + h * qdot0, cfg, jac_fn=jac)
         qdot1 = (q1 - q0) / h
         q1, qdot1, aux, _, _ = reparam_all(topo, params, q1, qdot1, aux)
         return State(q=q1, qdot=qdot1, aux=aux)
@@ -268,12 +330,17 @@ def make_bdf2_step(
     reference's 4-band backward recursion, TaskBDF2.m:55-106, emerges from
     reverse-mode through the two-level Bdf2State carry).
     """
-    newton_fn = lambda fn, x0: newton(fn, x0, cfg)[0]
+    newton_fn = lambda fn, jac, x0: newton(fn, x0, cfg, jac_fn=jac)[0]
+    structured = cfg.hessian == "structured"
+    hess_a = _hess_sdirk2a(topo, force_fns) if structured else None
+    hess_b = _hess_sdirk2b(topo, force_fns) if structured else None
+    hess_2 = _hess_bdf2(topo, force_fns) if structured else None
 
-    def _solve(res_theta_fn, theta, x0):
+    def _solve(res_theta_fn, hess_fn, theta, x0):
         if differentiable:
-            return implicit_solve(res_theta_fn, newton_fn, theta, x0)
-        return newton(lambda x: res_theta_fn(theta, x), x0, cfg)[0]
+            return implicit_solve(res_theta_fn, newton_fn, hess_fn, theta, x0)
+        jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
+        return newton(lambda x: res_theta_fn(theta, x), x0, cfg, jac_fn=jac)[0]
 
     def _res_a(theta, qa):
         params, q0, qdot0, aux = theta
@@ -291,9 +358,12 @@ def make_bdf2_step(
         q0, qdot0, aux = s.q, s.qdot, s.aux
         h = params["h"]
         a = SDIRK_ALPHA
-        qa = _solve(_res_a, (params, q0, qdot0, aux), q0 + a * h * qdot0)
+        qa = _solve(_res_a, hess_a, (params, q0, qdot0, aux), q0 + a * h * qdot0)
         qdota = (qa - q0) / (a * h)
-        q1 = _solve(_res_b, (params, q0, qdot0, qdota, aux), qa + (1 - a) * h * qdota)
+        q1 = _solve(
+            _res_b, hess_b, (params, q0, qdot0, qdota, aux),
+            qa + (1 - a) * h * qdota,
+        )
         qdot1 = (q1 - q0 - (1 - a) * h * qdota) / (a * h)
         return Bdf2State(
             q=q1, qdot=qdot1, q_prev=q0, qdot_prev=qdot0, k=s.k + 1, aux=aux
@@ -303,7 +373,7 @@ def make_bdf2_step(
         q0, qdot0 = s.q_prev, s.qdot_prev
         q1, qdot1, aux = s.q, s.qdot, s.aux
         h = params["h"]
-        q2 = _solve(_res_2, (params, q0, qdot0, q1, qdot1, aux), q1 + h * qdot1)
+        q2 = _solve(_res_2, hess_2, (params, q0, qdot0, q1, qdot1, aux), q1 + h * qdot1)
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
         return Bdf2State(
             q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1, aux=aux

@@ -230,6 +230,54 @@ def maximal_force_KD(
     return Km, Dm
 
 
+def structured_hessian(
+    topo: Topology, params: Dict, q, qdot, cK, cD, force_fns: Tuple = (), aux=None
+):
+    """Cheap structured Newton matrix H = M + cK*K~ + cD*D~.
+
+    K~/D~ keep every term that does NOT require differentiating the
+    kinematic geometry (J, Jdot, FK): joint-space Kr/Dr, the maximal force
+    derivatives contracted through a FROZEN J (J^T Km J, J^T Dm J), and the
+    exact quadratic-velocity damping -2 J^T Mm Jdot (fqvv is quadratic in
+    qdot). Dropping the dJ/dq terms leaves an O(h^2)-relative error in the
+    Newton matrix only — the residual stays exact, so chord iterations
+    converge to the true solution; this removes the [B, nr, N, 6, nr]
+    tangent blowup that made jacfwd Hessians HBM-bound on TPU.
+
+    Reference analogue: the linearly-implicit Euler LHS
+    Mr + J^T(h Dm - h^2 Km)J + h Dr - h^2 Kr (matlab/testRedMax.m:487),
+    which makes the same truncation.
+    """
+    kin = forward_kinematics(topo, params, q, qdot, aux)
+    J, Jdot, phi = jacobians(topo, params, kin, qdot)
+
+    Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot))(q)
+    Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q, qd))(qdot)
+
+    N = topo.njoints
+    dtype = q.dtype
+    z = jnp.zeros((N, 6), dtype=dtype)
+
+    def fm_of(xi, dphi):
+        kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+        ph = phi + dphi
+        fm = maximal_force(topo, params, kin2, ph)
+        for fn in force_fns:
+            _, fm_a = fn(params, kin2, None, ph, q, qdot)
+            fm = fm + fm_a
+        return fm
+
+    Km = jax.jacfwd(fm_of, argnums=0)(z, z).reshape(6 * N, 6 * N)
+    Dm = jax.jacfwd(fm_of, argnums=1)(z, z).reshape(6 * N, 6 * N)
+
+    Ivec = params["I_i"].reshape(-1)
+    MmJ = Ivec[:, None] * J
+    M = J.T @ MmJ
+    Kt = Kr + J.T @ (Km @ J)
+    Dt = Dr + J.T @ (Dm @ J) - 2.0 * (MmJ.T @ Jdot)
+    return M + cK * Kt + cD * Dt
+
+
 def assemble(topo: Topology, params: Dict, q, qdot, force_fns: Tuple = (), aux=None):
     """Full reduced assembly: returns (M [nr,nr], f [nr], aux dict).
 
