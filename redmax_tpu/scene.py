@@ -106,6 +106,8 @@ class SceneBuilder:
         self.forces: List[Tuple[str, Any, Dict[str, np.ndarray]]] = []
         self.constraints: List[Tuple[Any, Dict[str, np.ndarray]]] = []
         self.baumgarte = np.array([5.0, 5.0, 5.0])  # Scene.m:42
+        self.fric = False                           # Scene.m:43 (fric flag)
+        self.mu = np.array([0.6, 0.6])              # Scene.m:44 (int, ext)
         self.Hexpected: Dict[str, float] = {}
 
     # -- bodies ------------------------------------------------------------
@@ -414,6 +416,7 @@ class SceneBuilder:
             "qlimK": jnp.asarray(per_dof(lambda j: j.qlimK, _BIG), dtype=dtype),
             "qlimD": jnp.asarray(per_dof(lambda j: j.qlimD, 0.0), dtype=dtype),
             "baumgarte": jnp.asarray(self.baumgarte, dtype=dtype),
+            "mu": jnp.asarray(self.mu, dtype=dtype),
             "joint": jt_params,
             "constraints": {
                 obj.key: {k: jnp.asarray(v, dtype=dtype) for k, v in cp.items()}
@@ -427,6 +430,8 @@ class SceneBuilder:
             },
         }
         aux0: Dict[str, Any] = {}
+        if self.fric:
+            aux0["fbm"] = jnp.zeros(6 * N, dtype=dtype)
         euler_members = topo.euler_joints()
         if euler_members:
             from redmax_tpu.euler import DEFAULT_CHART
@@ -441,6 +446,13 @@ class SceneBuilder:
         )
         force_fns = tuple(obj for _, obj, _ in self.forces)
         constraint_fns = tuple(obj for obj, _ in self.constraints)
+        friction_model = None
+        if self.fric:
+            from redmax_tpu.friction import build_friction_model
+
+            friction_model = build_friction_model(
+                topo, self.joints, self.bodies, constraint_fns
+            )
 
         # Rest-length auto-init from the initial configuration
         # (ForceSpringDamper.init_ / ForceCable.init_; called from Scene.init
@@ -478,6 +490,7 @@ class SceneBuilder:
             state0=state0,
             force_fns=force_fns,
             constraint_fns=constraint_fns,
+            friction_model=friction_model,
             h=self.h,
             tEnd=self.tEnd,
             Hexpected=dict(self.Hexpected),
@@ -495,6 +508,7 @@ class CompiledScene:
     h: float
     tEnd: float
     Hexpected: Dict[str, float]
+    friction_model: Optional[Any] = None
 
     @property
     def nsteps(self) -> int:
@@ -518,6 +532,13 @@ class CompiledScene:
         if integrator == "euler":
             return integrators.make_euler_step(
                 self.topo, self.force_fns, self.constraint_fns
+            )
+        if integrator == "euler_fric":
+            from redmax_tpu.friction import make_euler_fric_step
+
+            assert self.friction_model is not None, "compile with fric=True"
+            return make_euler_fric_step(
+                self.topo, self.force_fns, self.friction_model
             )
         raise ValueError(integrator)
 

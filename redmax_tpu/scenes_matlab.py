@@ -143,6 +143,50 @@ def mscene_08() -> SceneBuilder:
     return b
 
 
+def mscene_27() -> SceneBuilder:
+    """case 27: two-link revolute chain with internal joint friction.
+
+    Root joint tilted by Rx(pi/4); axes z; fric=true, mu=[0.6, 0.6], tEnd=1.
+    """
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Internal friction revolute", h=1e-2, tEnd=1.0)
+    b.fric = True
+    b.Hexpected = {"euler_fric": -137371.1285153437056579}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=_rot([1, 0, 0], math.pi / 4) if i == 0 else transl([10, 0, 0]),
+            axis=(0, 0, 1),
+        )
+    return b
+
+
+def mscene_31() -> SceneBuilder:
+    """case 31: 'External friction' — 2-link chain + sphere on a floor.
+
+    fric=true, mu=[0.1, 0.2], baumgarte(3)=0.1/h, tEnd=2.
+    """
+    b = SceneBuilder(name="External friction", h=1e-2, tEnd=2.0)
+    b.fric = True
+    b.mu = np.array([0.1, 0.2])
+    b.baumgarte = np.array([5.0, 5.0, 0.1 / 1e-2])
+    b.Hexpected = {"euler_fric": -90558.1346001959173009}
+    qs = [math.pi / 4, -math.pi / 4]
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+            axis=(0, 1, 0), q=[qs[i]],
+        )
+    bs = b.body_sphere(1.0, 1.0)
+    b.joint(JointType.FIXED, 1, bs, E_pj=transl([10, 0, 0]))
+    b.constraint_floor(bs, E=transl([0, 0, -15]))
+    return b
+
+
 M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     -1: mscene_m1,
     0: mscene_00,
@@ -151,6 +195,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     6: mscene_06,
     7: mscene_07,
     8: mscene_08,
+    27: mscene_27,
+    31: mscene_31,
 }
 
 
