@@ -1,0 +1,45 @@
+"""Explicit ode45 certificates: REDMAX_ODE45 (dense assembly) and
+RECURS_ODE45 (O(n) recursive hybrid dynamics) from testRedMaxScenes.m.
+
+The integrator replicates MATLAB ode45's step controller exactly, so the
+certificates — which record that solver's drift at RelTol 1e-4 — transfer
+to ~1e-7. Also asserts the reference's cross-implementation equivalence:
+dense and recursive paths agree (matlab/README.md itype table).
+"""
+
+import jax
+import pytest
+
+from redmax_tpu import explicit
+from redmax_tpu.scenes_matlab import build_mscene
+
+CERTS = {
+    -1: (-5.6531026717020723, -5.6531026765951538),
+    0: (-3.0971281943493523, -3.0971281068341341),
+    1: (-1.9548841516880202, -1.9548841526830074),
+    4: (4176.3993502426255873, 4176.3993502425073530),
+}
+
+
+def run_H(sc, method):
+    T0, V0 = sc.energies(sc.state0.q, sc.state0.qdot)
+    fin = explicit.simulate_ode45(sc, method)
+    T, V = sc.energies(fin.q, fin.qdot, fin.aux)
+    return float(T) + float(V) - float(V0)
+
+
+@pytest.mark.parametrize("sid", sorted(CERTS))
+@pytest.mark.parametrize("method", ["dense", "recursive"])
+def test_ode45_certificate(sid, method):
+    sc = build_mscene(sid)
+    cert = CERTS[sid][0 if method == "recursive" else 1]
+    H = run_H(sc, method)
+    assert abs(H - cert) <= 1e-2, f"{sid}/{method}: {H} vs {cert}"
+
+
+def test_cross_oracle_equivalence():
+    """Dense vs recursive trajectories agree (independent algorithms)."""
+    sc = build_mscene(4)
+    H_d = run_H(sc, "dense")
+    H_r = run_H(sc, "recursive")
+    assert abs(H_d - H_r) < 1e-6
