@@ -212,6 +212,44 @@ class ConstraintPrescBody(_ConstraintBase):
         return G, g, gdot
 
 
+class ConstraintAttachPoint(_ConstraintBase):
+    """Welds a point-mass node body to a point on a rigid body (or world).
+
+    Reference: ConstraintAttachSpring (matlab/+redmax/ConstraintAttachSpring.m:23-60):
+    g = E r - x, G = [R Gamma(r), -I]. body = -1 attaches to a fixed world
+    point params["r"]. params: r [3] (body-local or world point).
+    """
+
+    n_eq_m = 3
+
+    def __init__(self, key, body: int, node_body: int):
+        super().__init__(key)
+        self.body = body
+        self.node = node_body
+
+    def eq_m(self, params, topo, kin, phi, q, qdot):
+        cp = self.p(params)
+        N = topo.njoints
+        dtype = q.dtype
+        G = jnp.zeros((3, 6 * N), dtype=dtype)
+        # node world velocity = [0 I] phi_node (node rotation is identity)
+        G = G.at[:, 6 * self.node + 3: 6 * self.node + 6].set(
+            -jnp.eye(3, dtype=dtype)
+        )
+        x_node = kin.E_wi[self.node, :3, 3]
+        if self.body >= 0:
+            E_b = kin.E_wi[self.body]
+            R_b = E_b[:3, :3]
+            G = G.at[:, 6 * self.body: 6 * self.body + 6].set(
+                R_b @ se3.Gamma(cp["r"])
+            )
+            x_pt = R_b @ cp["r"] + E_b[:3, 3]
+        else:
+            x_pt = cp["r"]
+        g = x_pt - x_node
+        return G, g, jnp.zeros_like(g)
+
+
 def assemble_constraints(
     constraint_fns: Tuple,
     params: Dict,

@@ -58,24 +58,39 @@ def make_deriv_dense(topo: Topology, force_fns: Tuple = (), constraint_fns: Tupl
             qdd = jnp.linalg.solve(M, f)
             return jnp.concatenate([qdot, qdd])
         kin, J, phi = auxd["kin"], auxd["J"], auxd["phi"]
-        rows = assemble_constraints(
-            constraint_fns, params, topo, kin, phi, q, qdot, J
+
+        def rows_at(qq):
+            kin2 = model.forward_kinematics(topo, params, qq, qdot, aux)
+            J2, _, phi2 = model.jacobians(topo, params, kin2, qdot)
+            return assemble_constraints(
+                constraint_fns, params, topo, kin2, phi2, qq, qdot, J2
+            )
+
+        rows = rows_at(q)
+        # Gdot qdot (the reference's Gdot*qdot + Gmdot terms,
+        # testRedMax.m:395-398) exactly, via one jvp of G(q) qdot along qdot.
+        _, rows_dot = jax.jvp(
+            lambda qq: (rows_at(qq)["Geq"] @ qdot, rows_at(qq)["Cin"] @ qdot),
+            (q,), (qdot,),
         )
+        Gdot_qdot, Cdot_qdot = rows_dot
         b1, b2 = params["baumgarte"][0], params["baumgarte"][1]
         me = rows["Geq"].shape[0]
         mi = rows["Cin"].shape[0]
-        # NOTE: Gdot terms are folded into the 2 b1 G qdot stabilization
-        # (the reference's Gdot qdot is retained only for moving targets;
-        # static-geometry scenes have Gdot qdot ~ G qdot drift handled by
-        # Baumgarte).
-        rhsG = -2 * b1 * (rows["Geq"] @ qdot + rows["geqdot"]) - b2 * b2 * rows["geq"]
+        rhsG = (
+            -Gdot_qdot
+            - 2 * b1 * (rows["Geq"] @ qdot + rows["geqdot"])
+            - b2 * b2 * rows["geq"]
+        )
         if mi == 0:
             qdd, _ = qp.kkt_solve(M, rows["Geq"], f, rhsG)
         else:
             act = rows["act"].astype(q.dtype)[:, None]
             Cin = rows["Cin"] * act
             rhsC = jnp.where(
-                rows["act"], -2 * b1 * (Cin @ qdot) - b2 * b2 * rows["cin"], 0.0
+                rows["act"],
+                -Cdot_qdot - 2 * b1 * (Cin @ qdot) - b2 * b2 * rows["cin"],
+                0.0,
             )
             A = jnp.concatenate([rows["Geq"], Cin], axis=0)
             b = jnp.concatenate([rhsG, rhsC], axis=0)

@@ -306,6 +306,51 @@ class ForceGroundCuboid(_ForceBase):
         return 0.5 * fp["kn"] * jnp.sum(jnp.where(d <= 0, d * d, 0.0))
 
 
+class ForceDeformableSegments(_ForceBase):
+    """Serial mass-spring segment forces for a DeformableSpring.
+
+    Reference: DeformableSpring.computeMassGrav_ (matlab/+redmax/
+    DeformableSpring.m:163-187): per segment fs = K e (1/L) dx/l applied
+    +fs at node i, -fs at node i+1, with e = (l - L)/L. Node bodies are
+    translational-joint point masses, so the wrench is [0; f].
+    params: K [], L [nnodes-1] (rest lengths, set at compile).
+    """
+
+    # The reference integrates deformable elastic forces EXPLICITLY in the
+    # euler path (they enter via computeMassGrav_, not the spring Km;
+    # matlab/testRedMax.m:476-482), so this force opts out of the implicit
+    # stiffness/damping derivatives.
+    implicit_KD = False
+
+    def __init__(self, key, node_bodies):
+        super().__init__(key)
+        self.nodes = tuple(node_bodies)
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        xs = kin.E_wi[jnp.asarray(self.nodes), :3, 3]      # [n,3]
+        for i in range(len(self.nodes) - 1):
+            dx = xs[i + 1] - xs[i]
+            l = jnp.linalg.norm(dx)
+            L = fp["L"][i]
+            e = (l - L) / L
+            fs = fp["K"] * e * (1.0 / L) * dx / l
+            fm = fm.at[self.nodes[i], 3:].add(fs)
+            fm = fm.at[self.nodes[i + 1], 3:].add(-fs)
+        return jnp.zeros_like(q), fm
+
+    def energy(self, params, kin, q, qdot):
+        fp = self.p(params)
+        xs = kin.E_wi[jnp.asarray(self.nodes), :3, 3]
+        V = 0.0
+        for i in range(len(self.nodes) - 1):
+            l = jnp.linalg.norm(xs[i + 1] - xs[i])
+            e = (l - fp["L"][i]) / fp["L"][i]
+            V = V + 0.5 * fp["K"] * e * e
+        return V
+
+
 FORCE_TYPES = {
     "point_point": ForcePointPoint,
     "spring_damper": ForceSpringDamper,

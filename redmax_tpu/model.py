@@ -219,10 +219,13 @@ def maximal_force_KD(
     N = topo.njoints
     dtype = q.dtype
     z = jnp.zeros((N, 6), dtype=dtype)
+    # Forces marked implicit_KD=False (deformable segments) stay explicit,
+    # matching the reference euler path (testRedMax.m:476-482).
+    fns = tuple(f for f in force_fns if getattr(f, "implicit_KD", True))
 
     def fm_of(xi, dphi):
         kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
-        _, fm = closure_forces(topo, params, kin2, phi + dphi, q, qdot, force_fns)
+        _, fm = closure_forces(topo, params, kin2, phi + dphi, q, qdot, fns)
         return fm
 
     Km = jax.jacfwd(fm_of, argnums=0)(z, z).reshape(6 * N, 6 * N)
@@ -258,11 +261,13 @@ def structured_hessian(
     dtype = q.dtype
     z = jnp.zeros((N, 6), dtype=dtype)
 
+    fns = tuple(f for f in force_fns if getattr(f, "implicit_KD", True))
+
     def fm_of(xi, dphi):
         kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
         ph = phi + dphi
         fm = maximal_force(topo, params, kin2, ph)
-        for fn in force_fns:
+        for fn in fns:
             _, fm_a = fn(params, kin2, None, ph, q, qdot)
             fm = fm + fm_a
         return fm

@@ -273,6 +273,70 @@ class SceneBuilder:
         """Register a custom force closure (see forces.py for the protocol)."""
         self.forces.append(("custom", force_obj, fparams))
 
+    # -- deformables -------------------------------------------------------
+    def deformable_spring(
+        self, nnodes, stiffness, mass, body0, r0, body1, r1, damping=0.0
+    ):
+        """Serial point-mass spring with nnodes 3-DOF nodes.
+
+        Reference: DeformableSpring (matlab/+redmax/DeformableSpring.m) +
+        ConstraintAttachSpring. Nodes compile to translational root joints
+        carrying point-mass bodies (rotational DOFs never activate: the
+        translational motion subspace has zero angular rows), so every
+        integrator/solver works unchanged. body0/body1 = -1 attaches that
+        end to the fixed world point r0/r1.
+        """
+        from redmax_tpu.forces import ForceDeformableSegments
+        from redmax_tpu.types import JointType
+
+        node_ids = []
+        eps = 1e-9  # inert rotational inertia (never excited)
+        for i in range(nnodes):
+            spec = _BodySpec(
+                density=0.0,
+                inertia=np.array([eps, eps, eps] + [mass / nnodes] * 3),
+                E_ji=np.eye(4),
+                name=f"defnode{len(self.bodies)}",
+            )
+            self.bodies.append(spec)
+            b = len(self.bodies) - 1
+            j = self.joint(JointType.TRANSLATIONAL, None, b)
+            if damping:
+                self.set_damping(j, damping)
+            node_ids.append(b)
+        key = self._force_key()
+        self.forces.append(
+            (
+                "deform_segments",
+                ForceDeformableSegments(key, node_ids),
+                {
+                    "K": np.float64(stiffness),
+                    "L": np.zeros(nnodes - 1),  # set at compile (initGeometry_)
+                },
+            )
+        )
+        if body0 is None:
+            body0 = -1
+        if body1 is None:
+            body1 = -1
+        ck0 = self._con_key()
+        self.constraints.append(
+            (
+                con_mod.ConstraintAttachPoint(ck0, body0, node_ids[0]),
+                {"r": np.asarray(r0, dtype=np.float64)},
+            )
+        )
+        ck1 = self._con_key()
+        self.constraints.append(
+            (
+                con_mod.ConstraintAttachPoint(ck1, body1, node_ids[-1]),
+                {"r": np.asarray(r1, dtype=np.float64)},
+            )
+        )
+        self._deform_inits = getattr(self, "_deform_inits", [])
+        self._deform_inits.append((node_ids, body0, r0, body1, r1, key))
+        return node_ids
+
     # -- constraints -------------------------------------------------------
     def _con_key(self) -> str:
         return f"c{len(self.constraints)}"
@@ -349,7 +413,52 @@ class SceneBuilder:
         )
 
     # -- compile -----------------------------------------------------------
+    def _init_deformables(self):
+        """Set node initial positions + segment rest lengths
+        (DeformableSpring.initGeometry_, DeformableSpring.m:61-91) by
+        composing world transforms of the rigid part with numpy FK."""
+        if not getattr(self, "_deform_inits", None):
+            return
+        # numpy FK over the joint specs (initial q)
+        from redmax_tpu.joints import KERNELS
+        import jax.numpy as jnpp
+
+        E_wj = [None] * len(self.joints)
+        E_wi = [None] * len(self.joints)
+        for i, js in enumerate(self.joints):
+            kern = KERNELS[js.jtype]
+            pj = dict(js.params)
+            if "chart" in pj or js.jtype.name.endswith("EULER"):
+                from redmax_tpu.euler import DEFAULT_CHART
+                pj["chart"] = jnpp.asarray(DEFAULT_CHART)
+            Q = np.asarray(
+                kern.Q_fn(jnpp.asarray(js.q, dtype=jnpp.float64),
+                          {k: jnpp.asarray(v) for k, v in pj.items()})
+            )
+            E_pj = js.E_pj @ Q
+            E_wj[i] = E_pj if js.parent < 0 else E_wj[js.parent] @ E_pj
+            E_wi[i] = E_wj[i] @ self.bodies[i].E_ji
+
+        def world_pt(b, r):
+            if b < 0:
+                return np.asarray(r, dtype=np.float64)
+            E = E_wi[b]
+            return E[:3, :3] @ np.asarray(r) + E[:3, 3]
+
+        for node_ids, body0, r0, body1, r1, fkey in self._deform_inits:
+            x0 = world_pt(body0, r0)
+            x1 = world_pt(body1, r1)
+            n = len(node_ids)
+            xs = [(1 - i / (n - 1)) * x0 + (i / (n - 1)) * x1 for i in range(n)]
+            for i, b in enumerate(node_ids):
+                self.joints[b].q = xs[i].copy()
+            L = np.array([np.linalg.norm(xs[i + 1] - xs[i]) for i in range(n - 1)])
+            for ft, obj, fp in self.forces:
+                if getattr(obj, "key", None) == fkey:
+                    fp["L"] = L
+
     def compile(self, dtype=jnp.float64) -> "CompiledScene":
+        self._init_deformables()
         N = len(self.joints)
         assert N == len(self.bodies)
         qstart, ndof = [], []

@@ -143,6 +143,27 @@ def mscene_08() -> SceneBuilder:
     return b
 
 
+def mscene_12() -> SceneBuilder:
+    """case 12 'Mass-springs': 2-link chain + two DeformableSprings.
+
+    h=5e-3, tEnd=1; one 3-node spring from a world point to the tip body,
+    one 2-node spring between body 1 and body 2 (testRedMaxScenes.m:363-399).
+    """
+    b = SceneBuilder(name="Mass-springs", h=5e-3, tEnd=1.0)
+    b.Hexpected = {"euler": -11740.4013565295099397,
+                   "ode45": -0.0345395920267038}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(
+            JointType.REVOLUTE, None if i == 0 else i - 1, body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0),
+        )
+    m = 0.1 * 10.0  # 0.1 * prod(sides) * density
+    b.deformable_spring(3, 1e5, m, -1, [30.0, 0.0, 10.0], 1, [5.0, 0.0, 0.0])
+    b.deformable_spring(2, 1e5, m, 0, [0.0, 0.0, 0.0], 1, [0.0, 0.0, 0.0])
+    return b
+
+
 def mscene_27() -> SceneBuilder:
     """case 27: two-link revolute chain with internal joint friction.
 
@@ -195,6 +216,7 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     6: mscene_06,
     7: mscene_07,
     8: mscene_08,
+    12: mscene_12,
     27: mscene_27,
     31: mscene_31,
 }

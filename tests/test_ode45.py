@@ -18,6 +18,7 @@ CERTS = {
     0: (-3.0971281943493523, -3.0971281068341341),
     1: (-1.9548841516880202, -1.9548841526830074),
     4: (4176.3993502426255873, 4176.3993502425073530),
+    12: (None, -0.0345395920267038),  # deformables: RHD unsupported (ref too)
 }
 
 
@@ -31,8 +32,10 @@ def run_H(sc, method):
 @pytest.mark.parametrize("sid", sorted(CERTS))
 @pytest.mark.parametrize("method", ["dense", "recursive"])
 def test_ode45_certificate(sid, method):
-    sc = build_mscene(sid)
     cert = CERTS[sid][0 if method == "recursive" else 1]
+    if cert is None:
+        pytest.skip("reference also skips RHD for this scene")
+    sc = build_mscene(sid)
     H = run_H(sc, method)
     assert abs(H - cert) <= 1e-2, f"{sid}/{method}: {H} vs {cert}"
 
