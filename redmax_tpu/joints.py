@@ -146,6 +146,68 @@ def _Q_free3d(q, params):
     return se3.make_E(R, q[0:3])
 
 
+# Cubic B-spline coefficient matrix (JointSplineCurve.B, :15-20).
+import numpy as _np
+
+_BSPLINE = _np.array(
+    [[1, -3, 3, -1], [4, 0, -6, 3], [1, 3, 3, -3], [0, 0, 0, 1]], dtype=_np.float64
+) / 6.0
+# Btilde row sums for i = 2, 3, 4 (Bsum, JointSplineCurve.m:187-201).
+_BSUM_ROWS = {i: _BSPLINE[i - 1:].sum(axis=0) for i in (2, 3, 4)}
+# Basis twists of the surface joint (JointSplineSurface.E, Eq. 25).
+_SURF_E = _np.array(
+    [
+        [0, 0, 0, 1, 0, 0], [0, 0, 0, 0, 1, 0], [0, 0, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0],
+    ],
+    dtype=_np.float64,
+)
+
+
+def _Q_spline_curve(q, params):
+    # JointSplineCurve.evalQ (matlab/+redmax/JointSplineCurve.m:112-139),
+    # [Lee & Terzopoulos 2008]: cyclic cubic B-spline curve of control
+    # frames. Q = C_k * prod_{i=2..4} exp(dC_{k+i} * Btilde_i(q - k)).
+    # S, Sdot come from AD of this function (replacing evalS, :141-176);
+    # floor() has zero derivative so the within-cell derivatives are exact.
+    Cs = params["Cs"]                      # [ncfs, 4, 4]
+    dCs = params["dCs"]                    # [ncfs, 6]
+    ncfs = Cs.shape[0]
+    dtype = q.dtype
+    qq = jnp.mod(q[0], ncfs)
+    k = jnp.clip(jnp.floor(qq), 0, ncfs - 1)
+    ql = qq - k
+    k = k.astype(jnp.int32)
+    Q = Cs[k]
+    qvec = jnp.stack([jnp.ones((), dtype), ql, ql * ql, ql**3])
+    for i in (2, 3, 4):
+        ki = jnp.mod(k + i - 1, ncfs)
+        bsum = jnp.asarray(_BSUM_ROWS[i], dtype=dtype) @ qvec
+        Q = Q @ se3.exp(dCs[ki] * bsum)
+    return Q
+
+
+def _Q_spline_surface(q, params):
+    # JointSplineSurface.evalQ (matlab/+redmax/JointSplineSurface.m:85-95):
+    # Q = prod_{i=1..6} exp(e_i * phi_i(q)), phi_i = q2^T B^T C_i B q1
+    # over a single 4x4 patch of control values. S/Sdot by AD (evalS
+    # replaced, :97-126).
+    cs = params["cs"]                      # [4, 4, 6]
+    dtype = q.dtype
+    B = jnp.asarray(_BSPLINE, dtype=dtype)
+    q1, q2 = q[0], q[1]
+    q1v = jnp.stack([jnp.ones((), dtype), q1, q1 * q1, q1**3])
+    q2v = jnp.stack([jnp.ones((), dtype), q2, q2 * q2, q2**3])
+    E = jnp.asarray(_SURF_E, dtype=dtype)
+    Q = jnp.eye(4, dtype=dtype)
+    left = B @ q2v                        # (q2vec' B')' = B q2v
+    right = B @ q1v
+    for i in range(6):
+        phi = left @ (cs[:, :, i] @ right)
+        Q = Q @ se3.exp(E[:, i] * phi)
+    return Q
+
+
 # ---------------------------------------------------------------------------
 # Reparameterization (post-step, keeps exp coordinates away from singularity)
 # ---------------------------------------------------------------------------
@@ -205,6 +267,8 @@ KERNELS: Dict[JointType, JointKernel] = {
     # state and the chart aux), not by a per-kernel reparam_fn.
     JointType.SPHERICAL_EULER: JointKernel(_Q_spherical_euler),
     JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler),
+    JointType.SPLINE_CURVE: JointKernel(_Q_spline_curve),
+    JointType.SPLINE_SURFACE: JointKernel(_Q_spline_surface),
 }
 
 

@@ -171,6 +171,26 @@ class SceneBuilder:
             )
             plane = plane / np.linalg.norm(plane, axis=0, keepdims=True)
             params["plane"] = plane
+        elif jtype == JointType.SPLINE_CURVE:
+            # control frames -> relative twists (addControlFrame,
+            # JointSplineCurve.m:44-57): dCs[j] = log(C_{j-1}^{-1} C_j), cyclic.
+            from redmax_tpu import se3 as se3_mod
+
+            Cs = np.stack(
+                [np.asarray(C, dtype=np.float64) for C in jparams.pop("control_frames")]
+            )
+            ncfs = Cs.shape[0]
+            dCs = np.zeros((ncfs, 6))
+            for jj in range(ncfs):
+                C0 = Cs[(jj - 1) % ncfs]
+                C1 = Cs[jj]
+                dCs[jj] = np.asarray(
+                    se3_mod.log(jnp.asarray(np.linalg.inv(C0) @ C1, dtype=jnp.float64))
+                )
+            params["Cs"] = Cs
+            params["dCs"] = dCs
+        elif jtype == JointType.SPLINE_SURFACE:
+            params["cs"] = np.asarray(jparams.pop("control_values"), dtype=np.float64)
         spec = _JointSpec(
             jtype=jtype,
             parent=-1 if parent is None else parent,

@@ -164,6 +164,63 @@ def mscene_12() -> SceneBuilder:
     return b
 
 
+def mscene_21() -> SceneBuilder:
+    """case 21 'Spline curve joint': revolute + cyclic B-spline curve joint
+    + revolute (testRedMaxScenes.m:608-632), h=5e-3."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Spline curve joint", h=5e-3, tEnd=2.0)
+    b.Hexpected = {"euler": -30627.8479814097263443,
+                   "ode45": -18.5261468464450445,
+                   "ode45_recursive": -18.5261468157405034}
+    b0 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, None, b0, axis=(0, 1, 0))
+    cf = []
+    for R_ang, p in [(math.pi, [-10, 0, 0]), (math.pi / 2, [0, 0, -2]),
+                     (0.0, [10, 0, 0]), (-math.pi / 2, [0, 0, 2])]:
+        E = _rot([0, 1, 0], R_ang)
+        E[:3, 3] = p
+        cf.append(E)
+    b1 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.SPLINE_CURVE, 0, b1, E_pj=transl([0, 0, -10]),
+            control_frames=cf, q=[0.0])
+    b2 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.REVOLUTE, 1, b2, E_pj=transl([10, 0, 0]), axis=(0, 1, 0),
+            q=[15 * math.pi / 16])
+    return b
+
+
+def mscene_22() -> SceneBuilder:
+    """case 22 'Spline surface joint' (testRedMaxScenes.m:633-669)."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Spline surface joint", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 2154.9740571399888722,
+                   "ode45": -1.4604474127263529,
+                   "ode45_recursive": -1.4604474130101153}
+    b0 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, None, b0, axis=(1, 0, 0), q=[math.pi / 8])
+    t0, r0 = 15.0, math.pi / 4
+    cs = np.zeros((4, 4, 6))
+    for i1 in range(4):
+        s1 = i1 / 3.0
+        x = (1 - s1) * (-t0) + s1 * t0
+        a = (1 - s1) * (-r0) + s1 * r0
+        for i2 in range(4):
+            s2 = i2 / 3.0
+            y = (1 - s2) * (-t0) + s2 * t0
+            z = 0.05 * (x * x + y * y)
+            bb = (1 - s1) * (-r0) + s1 * r0
+            cs[i1, i2] = [x, y, z, a, bb, 0.0]
+    b1 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.SPLINE_SURFACE, 0, b1, E_pj=transl([0, 0, -14]),
+            control_values=cs, q=[0.5, 0.5])
+    b2 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 1, b2, E_pj=transl([0, 0, -10]), axis=(0, 1, 0),
+            q=[math.pi / 4])
+    return b
+
+
 def mscene_27() -> SceneBuilder:
     """case 27: two-link revolute chain with internal joint friction.
 
@@ -217,6 +274,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     7: mscene_07,
     8: mscene_08,
     12: mscene_12,
+    21: mscene_21,
+    22: mscene_22,
     27: mscene_27,
     31: mscene_31,
 }

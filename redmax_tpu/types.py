@@ -43,6 +43,7 @@ class JointType(enum.IntEnum):
     SPHERICAL_EULER = 9  # matlab-diff/+redmax/JointSpherical.m (12 Euler charts)
     SPLINE_CURVE = 10  # matlab/+redmax/JointSplineCurve.m (cubic B-spline curve)
     FREE3D_EULER = 11  # matlab-diff/+redmax/JointFree3D.m (trans + Euler spherical)
+    SPLINE_SURFACE = 12  # matlab/+redmax/JointSplineSurface.m (tensor-product)
 
 
 NDOF: Dict[JointType, int] = {
@@ -58,6 +59,7 @@ NDOF: Dict[JointType, int] = {
     JointType.SPHERICAL_EULER: 3,
     JointType.SPLINE_CURVE: 1,
     JointType.FREE3D_EULER: 6,
+    JointType.SPLINE_SURFACE: 2,
 }
 
 # Joint types carrying a dynamic Euler chart index in State.aux["euler_chart"],
