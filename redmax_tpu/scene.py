@@ -143,6 +143,57 @@ class SceneBuilder:
         self.bodies.append(spec)
         return len(self.bodies) - 1
 
+    def body_mesh_obj(self, density, obj_path, name="") -> int:
+        """Body from an OBJ mesh: Mirtich inertia + inertial frame E_oi.
+
+        Reference: BodyMeshObj (matlab/+redmax/BodyMeshObj.m). NOTE: like
+        the reference, set_body_transform should then be called with
+        E0 @ E_oi (the obj-frame transform composed with the inertial
+        frame, testRedMaxScenes.m:781).
+        """
+        from redmax_tpu import mesh as mesh_mod
+
+        V, F = mesh_mod.read_obj(obj_path)
+        I6, E_oi = mesh_mod.mesh_mass_properties(V, F, density)
+        spec = _BodySpec(
+            density=density, inertia=I6, E_ji=np.eye(4), name=name
+        )
+        spec.E_oi = E_oi
+        spec.mesh = (V, F)
+        self.bodies.append(spec)
+        return len(self.bodies) - 1
+
+    def body_composite(self, parts, name="") -> int:
+        """Rigid composite of (inertia6 | ('cuboid', density, sides) | ...,
+        E) pairs given wrt the parent joint frame.
+
+        Reference: BodyComposite (matlab/+redmax/BodyComposite.m). The
+        body transform E_ji is set to the computed inertia frame E_jc
+        (testRedMaxScenes.m:760-761 does this explicitly).
+        """
+        from redmax_tpu import mesh as mesh_mod
+
+        inertias, Es = [], []
+        for part, E in parts:
+            if isinstance(part, tuple):
+                kind = part[0]
+                if kind == "cuboid":
+                    I6 = _np_inertia_cuboid(part[2], part[1])
+                elif kind == "cylinder":
+                    I6 = _np_inertia_cylinder(part[2], part[3], part[1])
+                elif kind == "sphere":
+                    I6 = _np_inertia_sphere(part[2], part[1])
+                else:
+                    raise ValueError(kind)
+            else:
+                I6 = np.asarray(part, dtype=np.float64)
+            inertias.append(I6)
+            Es.append(np.asarray(E, dtype=np.float64))
+        I6, E_jc = mesh_mod.composite_mass_properties(inertias, Es)
+        spec = _BodySpec(density=0.0, inertia=I6, E_ji=E_jc, name=name)
+        self.bodies.append(spec)
+        return len(self.bodies) - 1
+
     def set_body_transform(self, body: int, E_ji) -> None:
         self.bodies[body].E_ji = np.asarray(E_ji, dtype=np.float64)
 

@@ -221,6 +221,43 @@ def mscene_22() -> SceneBuilder:
     return b
 
 
+def mscene_25() -> SceneBuilder:
+    """case 25 'Composite body': cuboid + cylinder merged rigidly
+    (testRedMaxScenes.m:734-762)."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Composite body", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 1261.6057602036726166,
+                   "ode45": -11.2086902930313954,
+                   "ode45_recursive": -11.2086902929768257}
+    Ecyl = _rot([0, 1, 0], math.pi / 2)
+    Ecyl[:3, 3] = [5, 0, -10]
+    body = b.body_composite([
+        (("cuboid", 1.0, (1, 1, 10)), transl([0, 0, -5])),
+        (("cylinder", 1.0, 1.0, 10.0), Ecyl),
+    ])
+    b.joint(JointType.REVOLUTE, None, body, axis=(0, 1, 0))
+    return b
+
+
+def mscene_26() -> SceneBuilder:
+    """case 26 'Obj body': two-link chain of OBJ-mesh cuboids
+    (testRedMaxScenes.m:763-795)."""
+    b = SceneBuilder(name="Obj body", h=1e-2, tEnd=1.0)
+    b.Hexpected = {"euler": 59.8820887155682158,
+                   "ode45": -0.0441469434412625,
+                   "ode45_recursive": -0.0441469434378234}
+    E0 = transl([0.5, 0, -1.5])
+    obj = "/root/reference/matlab/cuboid.obj"
+    b0 = b.body_mesh_obj(1.0, obj)
+    b.set_body_transform(b0, E0 @ b.bodies[b0].E_oi)
+    b.joint(JointType.REVOLUTE, None, b0, axis=(0, 1, 0))
+    b1 = b.body_mesh_obj(1.0, obj)
+    b.set_body_transform(b1, E0 @ b.bodies[b1].E_oi)
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([0, 0, -3]), axis=(0, 1, 0))
+    return b
+
+
 def mscene_27() -> SceneBuilder:
     """case 27: two-link revolute chain with internal joint friction.
 
@@ -275,6 +312,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     8: mscene_08,
     12: mscene_12,
     21: mscene_21,
+    25: mscene_25,
+    26: mscene_26,
     22: mscene_22,
     27: mscene_27,
     31: mscene_31,

@@ -20,6 +20,8 @@ CERTS = {
     4: (4176.3993502426255873, 4176.3993502425073530),
     12: (None, -0.0345395920267038),  # deformables: RHD unsupported (ref too)
     22: (-1.4604474130101153, -1.4604474127263529),  # spline surface joint
+    25: (-11.2086902929768257, -11.2086902930313954),  # composite body
+    26: (-0.0441469434378234, -0.0441469434412625),  # OBJ mesh body
 }
 
 # Scene 21 (spline curve): the adaptive controller's accept/reject sequence
