@@ -1,0 +1,126 @@
+"""Frame export + visualization (the Brender/viewer role).
+
+The reference ships an OpenGL viewer (c++/PCG/online/: GLFW + GLSL phong)
+and the Brender Blender exporter (online/Brender/cpp/BrenderManager.h,
+Brenderable.h:15-31: per-frame OBJ/JSON dumps + python import addons).
+Here:
+
+  * ``FrameExporter`` writes per-frame JSON (body world transforms +
+    static geometry) in a Blender-importable layout — the Brender role;
+  * ``export_objs`` writes per-frame OBJ files of transformed cuboid
+    geometry (the per-frame OBJ dump mode of BrenderManager);
+  * ``draw_scene`` renders a trajectory with matplotlib (the MATLAB
+    draw()/viewer role) — optional, import-guarded.
+"""
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_CUBE_VERTS = np.array(
+    [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
+)
+_CUBE_FACES = np.array(
+    [
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ]
+)
+
+
+class FrameExporter:
+    """Accumulates frames and writes a Brender-style JSON bundle."""
+
+    def __init__(self, scene, out_dir: str):
+        self.scene = scene
+        self.out_dir = out_dir
+        self.frames: List[Dict] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def add_frame(self, t: float, kin) -> None:
+        self.frames.append(
+            {
+                "t": float(t),
+                "E_wi": np.asarray(kin.E_wi).tolist(),
+            }
+        )
+
+    def write(self) -> str:
+        doc = {
+            "name": self.scene.name,
+            "bodies": [
+                {
+                    "name": getattr(bs, "name", f"body{i}"),
+                    "sides": None
+                    if getattr(bs, "sides", None) is None
+                    else np.asarray(bs.sides).tolist(),
+                }
+                for i, bs in enumerate(getattr(self.scene, "body_specs", []))
+            ],
+            "frames": self.frames,
+        }
+        path = os.path.join(self.out_dir, "frames.json")
+        with open(path, "w") as fh:
+            json.dump(doc, fh)
+        return path
+
+
+def export_objs(scene, traj_q, out_dir: str, sides=None, stride: int = 1) -> int:
+    """Write per-frame OBJs of cuboid bodies (BrenderManager OBJ mode).
+
+    traj_q: [T, nr] recorded positions. Returns number of frames written.
+    """
+    from redmax_tpu import model
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for k in range(0, len(traj_q), stride):
+        q = traj_q[k]
+        kin = model.forward_kinematics(
+            scene.topo, scene.params, q, np.zeros_like(q), scene.state0.aux
+        )
+        E = np.asarray(kin.E_wi)
+        with open(os.path.join(out_dir, f"frame_{n:05d}.obj"), "w") as fh:
+            voff = 1
+            for b in range(scene.topo.njoints):
+                s = np.ones(3) if sides is None else np.asarray(sides[b])
+                V = _CUBE_VERTS * s
+                Vw = V @ E[b, :3, :3].T + E[b, :3, 3]
+                for v in Vw:
+                    fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+                for f in _CUBE_FACES:
+                    fh.write(
+                        f"f {f[0]+voff} {f[1]+voff} {f[2]+voff}\n"
+                    )
+                voff += 8
+        n += 1
+    return n
+
+
+def draw_scene(scene, q, ax=None, sides=None):
+    """matplotlib 3D wireframe of the scene at configuration q."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from redmax_tpu import model
+
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    kin = model.forward_kinematics(
+        scene.topo, scene.params, q, np.zeros_like(q), scene.state0.aux
+    )
+    E = np.asarray(kin.E_wi)
+    for b in range(scene.topo.njoints):
+        s = np.ones(3) if sides is None else np.asarray(sides[b])
+        V = _CUBE_VERTS * s
+        Vw = V @ E[b, :3, :3].T + E[b, :3, 3]
+        for f in _CUBE_FACES:
+            tri = Vw[f]
+            ax.plot(tri[[0, 1, 2, 0], 0], tri[[0, 1, 2, 0], 1], tri[[0, 1, 2, 0], 2],
+                    "b-", linewidth=0.3)
+    return ax
