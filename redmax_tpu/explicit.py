@@ -122,12 +122,25 @@ def make_deriv_recursive(
             return jnp.concatenate([qdot, qdd_free])
         kin = model.forward_kinematics(topo, params, q, qdot, aux)
         J, _, phi = model.jacobians(topo, params, kin, qdot)
+
+        def Geq_qdot(qq):
+            kin2 = model.forward_kinematics(topo, params, qq, qdot, aux)
+            J2, _, phi2 = model.jacobians(topo, params, kin2, qdot)
+            return assemble_constraints(
+                constraint_fns, params, topo, kin2, phi2, qq, qdot, J2
+            )["Geq"] @ qdot
+
         rows = assemble_constraints(
             constraint_fns, params, topo, kin, phi, q, qdot, J
         )
+        _, Gdot_qdot = jax.jvp(Geq_qdot, (q,), (qdot,))
         b1, b2 = params["baumgarte"][0], params["baumgarte"][1]
         G = rows["Geq"]
-        rhsG = -2 * b1 * (G @ qdot + rows["geqdot"]) - b2 * b2 * rows["geq"]
+        rhsG = (
+            -Gdot_qdot
+            - 2 * b1 * (G @ qdot + rows["geqdot"])
+            - b2 * b2 * rows["geq"]
+        )
         minv = recursive.make_minv_product(topo, params, kin)
         MinvGT = jax.vmap(minv)(G)                      # [me, nr] rows M^{-1}g_i
         D = G @ MinvGT.T                                # G M^{-1} G^T

@@ -148,6 +148,90 @@ class ForceSpringDamper(_ForceBase):
         return V
 
 
+class SpringDamperM(_ForceBase):
+    """The feature-variant SpringDamper with ITS sign conventions
+    (matlab/+redmax/SpringDamper.m computeFKD):
+        fs = k (l - L)/L - d ldot / L       (note the MINUS on damping)
+        wrench_1 = (fs/l) Gamma1^T R1^T dx  (pull toward body2 when fs > 0)
+    and, unlike joint/body damping, the damping FORCE stays in fm in the
+    euler path (computeForceStiffnessDamping adds f including damping)
+    while the D matrix also enters the LHS — so this force keeps
+    strip_damping = False. params: xl1, xl2, k, d, L (0 -> auto init).
+    """
+
+    strip_damping = False
+    implicit_KD = False   # K/D supplied analytically below, not by autodiff
+    custom_KD = True
+
+    def __init__(self, key, body1: int, body2: int):
+        super().__init__(key)
+        self.body1 = body1
+        self.body2 = body2
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        x1, v1, R1, G1 = _point_state(kin, phi, self.body1, fp["xl1"])
+        x2, v2, R2, G2 = _point_state(kin, phi, self.body2, fp["xl2"])
+        dx = x2 - x1
+        l = jnp.linalg.norm(dx)
+        ldot = jnp.dot(dx, v2 - v1) / l
+        fs = fp["k"] * (l - fp["L"]) / fp["L"] - fp["d"] * ldot / fp["L"]
+        fW = (fs / l) * dx
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        fm = _apply_world_force(fm, self.body1, R1, G1, fW)
+        fm = _apply_world_force(fm, self.body2, R2, G2, -fW)
+        return jnp.zeros_like(q), fm
+
+    def matlab_KD(self, params, kin, phi, q, qdot):
+        """The reference's OWN truncated stiffness/damping blocks
+        (SpringDamper.computeFKD, :137-157): K = -sym(fn * dfs/dE) — the
+        -fs d(fn)/dE geometric term is deliberately dropped — and
+        D = -fn * dfm/dphi. Returned in OUR euler sign convention
+        (contributions to Km/Dm with Mrtilde = ... - h Dm - h^2 Km),
+        scattered to [6N, 6N].
+        """
+        fp = self.p(params)
+        N = kin.E_wi.shape[0]
+        dtype = q.dtype
+        x1, v1, R1, G1 = _point_state(kin, phi, self.body1, fp["xl1"])
+        x2, v2, R2, G2 = _point_state(kin, phi, self.body2, fp["xl2"])
+        dx = x2 - x1
+        l = jnp.linalg.norm(dx)
+        dhat = dx / l
+        # fn = (1/l) [ -G1^T R1^T dx ; G2^T R2^T dx ]
+        fn1 = -(G1.T @ (R1.T @ dx)) / l
+        fn2 = (G2.T @ (R2.T @ dx)) / l
+        fn = jnp.concatenate([fn1, fn2])                    # [12]
+        dfsdx1 = -(fp["k"] / fp["L"]) * dhat                # row 3-vec
+        row = jnp.concatenate([dfsdx1 @ (R1 @ G1), -(dfsdx1 @ (R2 @ G2))])
+        Kblk = jnp.outer(fn, row)
+        Kblk = -0.5 * (Kblk + Kblk.T)                       # their K
+        dfmdv1 = (fp["d"] / fp["L"]) * dhat
+        drow = jnp.concatenate([dfmdv1 @ (R1 @ G1), -(dfmdv1 @ (R2 @ G2))])
+        Dblk = -jnp.outer(fn, drow)                         # their D
+        # Sign mapping: the reference LHS is Mr + J^T(h D_ref - h^2 K_ref)J,
+        # ours is Mr - h J^T Dm J - h^2 J^T Km J => Km = +K_ref, Dm = -D_ref.
+        Km = jnp.zeros((6 * N, 6 * N), dtype=dtype)
+        Dm = jnp.zeros((6 * N, 6 * N), dtype=dtype)
+        idx = jnp.concatenate([
+            jnp.arange(6 * self.body1, 6 * self.body1 + 6),
+            jnp.arange(6 * self.body2, 6 * self.body2 + 6),
+        ])
+        Km = Km.at[jnp.ix_(idx, idx)].add(Kblk)
+        Dm = Dm.at[jnp.ix_(idx, idx)].add(-Dblk)
+        return Km, Dm
+
+    def energy(self, params, kin, q, qdot):
+        # SpringDamper.computeEnergy_ (:98-117): V = 1/2 k ((l-L)/L)^2
+        fp = self.p(params)
+        zero_phi = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        x1, _, _, _ = _point_state(kin, zero_phi, self.body1, fp["xl1"])
+        x2, _, _, _ = _point_state(kin, zero_phi, self.body2, fp["xl2"])
+        l = jnp.linalg.norm(x2 - x1)
+        e = (l - fp["L"]) / fp["L"]
+        return 0.5 * fp["k"] * e * e
+
+
 class ForceCable(_ForceBase):
     """Tension-only spring routed through a sequence of body points.
 

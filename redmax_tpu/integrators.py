@@ -415,9 +415,16 @@ def bdf2_init(state: State) -> Bdf2State:
     )
 
 
-def make_simulate(step_fn: Callable, nsteps: int, record: bool = False):
+def make_simulate(
+    step_fn: Callable, nsteps: int, record: bool = False, scene_fn: Callable = None
+):
     """Roll a step function with lax.scan. Returns final state (and optional
     per-step (q, qdot) history when record=True).
+
+    scene_fn(params, t) -> params: jittable time-dependent parameter hook
+    (the reference's sceneFcn, called with the END time of each step,
+    matlab/testRedMax.m:569: sceneFcn(t(k))). Must be branchless
+    (jnp.where over time windows).
 
     If step_fn exposes .bootstrap/.inner (BDF2), the first step runs the
     SDIRK2 bootstrap OUTSIDE the scan and the scan body is the pure BDF2
@@ -427,15 +434,20 @@ def make_simulate(step_fn: Callable, nsteps: int, record: bool = False):
 
     def simulate(params: Dict, state0):
         inner = step_fn.inner if split else step_fn
+        h = params["h"]
 
-        def body(s, _):
-            s_new = inner(params, s)
+        def at_t(k):
+            return scene_fn(params, (k + 1) * h) if scene_fn else params
+
+        def body(s, k):
+            s_new = inner(at_t(k), s)
             out = (s_new.q, s_new.qdot) if record else None
             return s_new, out
 
+        ks = jnp.arange(nsteps)
         if split:
-            state1 = step_fn.bootstrap(params, state0)
-            final, hist = jax.lax.scan(body, state1, None, length=nsteps - 1)
+            state1 = step_fn.bootstrap(at_t(0), state0)
+            final, hist = jax.lax.scan(body, state1, ks[1:])
             if record:
                 hist = jax.tree_util.tree_map(
                     lambda first, rest: jnp.concatenate([first[None], rest]),
@@ -443,7 +455,7 @@ def make_simulate(step_fn: Callable, nsteps: int, record: bool = False):
                     hist,
                 )
         else:
-            final, hist = jax.lax.scan(body, state0, None, length=nsteps)
+            final, hist = jax.lax.scan(body, state0, ks)
         return (final, hist) if record else final
 
     return simulate
@@ -499,8 +511,27 @@ def make_euler_step(
         _, fm_cl = closure_forces(topo, params, kin, phi, q0, qdot0, force_fns)
         Km, Dm = maximal_force_KD(topo, params, kin, phi, q0, qdot0, force_fns)
         Km = 0.5 * (Km + Km.T)
-        fm_el = fm_cl.reshape(-1) - Dm @ phi.reshape(-1)
+        # Damping forces are one-sidedly implicit (reference discards them
+        # from f0) EXCEPT for forces with strip_damping=False (SpringDamperM,
+        # whose damping force stays in fm per computeForceStiffnessDamping).
+        # NOTE: the strip matrix is the PRE-custom autodiff Dm.
+        strip_fns = tuple(
+            f for f in force_fns
+            if getattr(f, "implicit_KD", True) and getattr(f, "strip_damping", True)
+        )
+        if strip_fns == tuple(f for f in force_fns if getattr(f, "implicit_KD", True)):
+            Dm_strip = Dm
+        else:
+            _, Dm_strip = maximal_force_KD(
+                topo, params, kin, phi, q0, qdot0, strip_fns
+            )
+        fm_el = fm_cl.reshape(-1) - Dm_strip @ phi.reshape(-1)
         f0_m = fm_grav.reshape(-1) + fm_el
+        for fcn in force_fns:
+            if getattr(fcn, "custom_KD", False):
+                Kc, Dc = fcn.matlab_KD(params, kin, phi, q0, qdot0)
+                Km = Km + Kc
+                Dm = Dm + Dc
 
         Ivec = params["I_i"].reshape(-1)
         MmJ = Ivec[:, None] * J

@@ -146,6 +146,16 @@ def _Q_free3d(q, params):
     return se3.make_E(R, q[0:3])
 
 
+def _Q_composite_rp(q, params):
+    # JointComposite (matlab/+redmax/JointComposite.m:38-72): Q = Q1 Q2 with
+    # S = [Ad(Q2^{-1}) S1, S2] — here joint1 = revolute(axis1), joint2 =
+    # prismatic(axis2) (the scene-19 composite); S and derivatives by AD.
+    R = se3.exp_so3(params["axis1"] * q[0])
+    Q1 = se3.make_E(R, jnp.zeros(3, dtype=q.dtype))
+    Q2 = se3.make_E(jnp.eye(3, dtype=q.dtype), params["axis2"] * q[1])
+    return Q1 @ Q2
+
+
 # Cubic B-spline coefficient matrix (JointSplineCurve.B, :15-20).
 import numpy as _np
 
@@ -269,6 +279,7 @@ KERNELS: Dict[JointType, JointKernel] = {
     JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler),
     JointType.SPLINE_CURVE: JointKernel(_Q_spline_curve),
     JointType.SPLINE_SURFACE: JointKernel(_Q_spline_surface),
+    JointType.COMPOSITE_RP: JointKernel(_Q_composite_rp),
 }
 
 

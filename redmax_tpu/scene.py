@@ -240,6 +240,11 @@ class SceneBuilder:
                 )
             params["Cs"] = Cs
             params["dCs"] = dCs
+        elif jtype == JointType.COMPOSITE_RP:
+            a1 = np.asarray(jparams.pop("axis1"), dtype=np.float64)
+            a2 = np.asarray(jparams.pop("axis2"), dtype=np.float64)
+            params["axis1"] = a1 / np.linalg.norm(a1)
+            params["axis2"] = a2 / np.linalg.norm(a2)
         elif jtype == JointType.SPLINE_SURFACE:
             params["cs"] = np.asarray(jparams.pop("control_values"), dtype=np.float64)
         spec = _JointSpec(
@@ -296,6 +301,24 @@ class SceneBuilder:
             (
                 "spring_damper",
                 forces_mod.ForceSpringDamper(key, body1, body2),
+                {
+                    "xl1": np.asarray(xl1, dtype=np.float64),
+                    "xl2": np.asarray(xl2, dtype=np.float64),
+                    "k": np.float64(k),
+                    "d": np.float64(d),
+                    "L": np.float64(L),
+                },
+            )
+        )
+
+    def force_spring_damper_m(self, body1, body2, xl1, xl2, k, d=0.0, L=0.0) -> None:
+        """matlab-variant SpringDamper (sign conventions differ from the
+        diff variant's ForceSpringDamper; see forces.SpringDamperM)."""
+        key = self._force_key()
+        self.forces.append(
+            (
+                "spring_damper_m",
+                forces_mod.SpringDamperM(key, body1, body2),
                 {
                     "xl1": np.asarray(xl1, dtype=np.float64),
                     "xl2": np.asarray(xl2, dtype=np.float64),
@@ -638,7 +661,7 @@ class SceneBuilder:
         # (ForceSpringDamper.init_ / ForceCable.init_; called from Scene.init
         # via forces{1}.init() in the reference, Scene.m:117).
         if any(
-            ft in ("spring_damper", "cable") and float(fp["L"]) == 0.0
+            ft in ("spring_damper", "spring_damper_m", "cable") and float(fp["L"]) == 0.0
             for ft, _, fp in self.forces
         ):
             kin0 = model.forward_kinematics(
@@ -652,7 +675,7 @@ class SceneBuilder:
                 return E[:3, :3] @ np.asarray(xl) + E[:3, 3]
 
             for ft, obj, fp in self.forces:
-                if ft == "spring_damper" and float(fp["L"]) == 0.0:
+                if ft in ("spring_damper", "spring_damper_m") and float(fp["L"]) == 0.0:
                     L = np.linalg.norm(
                         world_pt(obj.body2, fp["xl2"]) - world_pt(obj.body1, fp["xl1"])
                     )

@@ -143,6 +143,170 @@ def mscene_08() -> SceneBuilder:
     return b
 
 
+def mscene_03() -> SceneBuilder:
+    """case 3 'Spherical joint' (exp coords), euler only, tEnd=3."""
+    b = SceneBuilder(name="Spherical joint", h=1e-2, tEnd=3.0)
+    b.Hexpected = {"euler": 7788.8055603543098186}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+        q = [math.pi / 8, 0.0, 0.0]
+        qdot = [0.0, 0.0, 2.0] if i == 0 else None
+        b.joint(JointType.SPHERICAL, None if i == 0 else 0, body,
+                E_pj=np.eye(4) if i == 0 else transl([0, 0, -10]),
+                q=q, qdot=qdot)
+    return b
+
+
+def mscene_05() -> SceneBuilder:
+    """case 5 'Joint torque': time-windowed torque schedule via scene_fn."""
+    b = SceneBuilder(name="Joint torque", h=5e-2, tEnd=10.0, grav=(0, 0, 0))
+    b.Hexpected = {"euler": 170.5971183034905607,
+                   "ode45": 160.820781710469,
+                   "ode45_recursive": 160.820781707015}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0))
+    return b
+
+
+def scene_fn_05(params, t):
+    """sceneFcn05 (testRedMaxScenes.m:1186-1199), branchless."""
+    import jax.numpy as jnp
+
+    tau = jnp.where(
+        t < 3.0,
+        jnp.array([0.0, 0.0, 1e2]),
+        jnp.where(t < 6.0, jnp.array([0.0, 1e2, -1e2]), jnp.array([1e2, -1e2, 0.0])),
+    )
+    return {**params, "tau": tau.astype(params["tau"].dtype)}
+
+
+def mscene_14() -> SceneBuilder:
+    """case 14 'Universal joint': 3 universal joints."""
+    b = SceneBuilder(name="Universal joint", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 9679.3365423127470422,
+                   "ode45": -0.8577782794236555,
+                   "ode45_recursive": -0.8577782593856682}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+        q = [math.pi / 8, 0] if i % 2 == 0 else [0, math.pi / 8]
+        b.joint(JointType.UNIVERSAL, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([0, 0, -10]), q=q)
+    return b
+
+
+def mscene_15() -> SceneBuilder:
+    """case 15 'Prismatic joint': slider-crank-like loop with ConstraintLoop."""
+    b = SceneBuilder(name="Prismatic joint", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -17427.8561972516035894,
+                   "ode45": 2.5092171060550754,
+                   "ode45_recursive": 2.5092171102578504}
+    b0 = b.body_cuboid(1.0, (22, 1, 1))
+    b.joint(JointType.FIXED, None, b0)
+    b1 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([-11, 0, 0]), axis=(0, 1, 0))
+    b2 = b.body_cuboid(1.0, (22, 1, 1), E_ji=transl([11, 0, 0]))
+    b.joint(JointType.PRISMATIC, 1, b2, E_pj=transl([0, 0, -10]), axis=(1, 0, 0))
+    b3 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, 5]))
+    b.joint(JointType.REVOLUTE, 2, b3, E_pj=transl([22, 0, 0]), axis=(0, 1, 0))
+    b4 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 2, b4, E_pj=transl([11, 0, 0]), axis=(0, 1, 0),
+            q=[3 * math.pi / 4])
+    b.constraint_loop(3, 0, [0, 0, 5], [11, 0, 0])
+    return b
+
+
+def mscene_16() -> SceneBuilder:
+    """case 16 'Planar joint'."""
+    b = SceneBuilder(name="Planar joint", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 1027.3404900101377279,
+                   "ode45": -5.7644270894088550,
+                   "ode45_recursive": -5.7644270883174613}
+    b0 = b.body_cuboid(1.0, (10, 10, 1))
+    b.joint(JointType.PLANAR, None, b0)
+    b1 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([-5, 0, 0]), axis=(0, 1, 0),
+            q=[math.pi / 2])
+    b2 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 0, b2, E_pj=transl([0, -5, 0]), axis=(1, 0, 0),
+            q=[math.pi / 4])
+    return b
+
+
+def mscene_17() -> SceneBuilder:
+    """case 17 'Translational joint', zero gravity."""
+    b = SceneBuilder(name="Translational joint", h=1e-2, tEnd=2.0, grav=(0, 0, 0))
+    b.Hexpected = {"euler": 836.2350063173605577,
+                   "ode45": 835.418079875333,
+                   "ode45_recursive": 835.418079875333}
+    b0 = b.body_cuboid(1.0, (10, 10, 1))
+    b.joint(JointType.TRANSLATIONAL, None, b0)
+    b1 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([-5, 0, 0]), axis=(0, 1, 0),
+            qdot=[2.0])
+    b2 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, -5]))
+    b.joint(JointType.REVOLUTE, 0, b2, E_pj=transl([0, -5, 0]), axis=(1, 0, 0),
+            qdot=[1.0])
+    return b
+
+
+def mscene_18() -> SceneBuilder:
+    """case 18 'Free joint': tumbling unit cube, weak gravity, tEnd=7."""
+    b = SceneBuilder(name="Free joint", h=1e-2, tEnd=7.0, grav=(0, 0, -1))
+    b.Hexpected = {"euler": 4.5116666666668817,
+                   "ode45": 4.5466342688068924,
+                   "ode45_recursive": 4.5466342688068826}
+    b0 = b.body_cuboid(1.0, (1, 1, 1))
+    b.joint(JointType.FREE3D, None, b0, qdot=[0, 0, 3, 0.2, 0.4, 0.6])
+    return b
+
+
+def mscene_19() -> SceneBuilder:
+    """case 19 'Composite joint': revolute(x) o prismatic(x), h=2e-2."""
+    b = SceneBuilder(name="Composite joint", h=2e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 918.5086593280602756,
+                   "ode45": -8.7962825142917609,
+                   "ode45_recursive": -8.7962825142149086}
+    b0 = b.body_cuboid(1.0, (1, 1, 10), E_ji=transl([0, 0, 5]))
+    b.joint(JointType.COMPOSITE_RP, None, b0, axis1=(1, 0, 0), axis2=(1, 0, 0),
+            q=[0.1, 0.0], qdot=[0.0, 1.0])
+    return b
+
+
+def mscene_23() -> SceneBuilder:
+    """case 23 'Point-to-point spring': 4-link chain + 3 zero-rest springs."""
+    b = SceneBuilder(name="Point-to-point spring", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": 2125.1442936080966319,
+                   "ode45": -0.2671194856266084,
+                   "ode45_recursive": -0.2671194855411159}
+    for i in range(4):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        q = [math.pi / 2] if i == 0 else [math.pi / 16]
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+                axis=(0, 1, 0), q=q)
+        if i > 0:
+            b.force_point_point(i - 1, i, [-1, 0, 0], [5, 0, 0], k=1e2)
+    return b
+
+
+def mscene_24() -> SceneBuilder:
+    """case 24 'Spring damper' (matlab sign conventions), euler only."""
+    b = SceneBuilder(name="Spring damper", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -18398.2926338097677217}
+    b0 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.FIXED, None, b0)
+    b1 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([10, 0, 0]), axis=(0, 1, 0),
+            q=[math.pi / 2])
+    b2 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.REVOLUTE, 1, b2, E_pj=transl([10, 0, 0]), axis=(0, 1, 0),
+            q=[-math.pi / 2])
+    b.force_spring_damper_m(0, 1, [-2, 0, -0.5], [1, 0.5, -0.5], k=1e6, d=1e3)
+    return b
+
+
 def mscene_12() -> SceneBuilder:
     """case 12 'Mass-springs': 2-link chain + two DeformableSprings.
 
@@ -304,6 +468,8 @@ def mscene_31() -> SceneBuilder:
 
 M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     -1: mscene_m1,
+    3: mscene_03,
+    5: mscene_05,
     0: mscene_00,
     1: mscene_01,
     4: mscene_04,
@@ -311,6 +477,14 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     7: mscene_07,
     8: mscene_08,
     12: mscene_12,
+    14: mscene_14,
+    15: mscene_15,
+    16: mscene_16,
+    17: mscene_17,
+    18: mscene_18,
+    19: mscene_19,
+    23: mscene_23,
+    24: mscene_24,
     21: mscene_21,
     25: mscene_25,
     26: mscene_26,

@@ -44,6 +44,7 @@ class JointType(enum.IntEnum):
     SPLINE_CURVE = 10  # matlab/+redmax/JointSplineCurve.m (cubic B-spline curve)
     FREE3D_EULER = 11  # matlab-diff/+redmax/JointFree3D.m (trans + Euler spherical)
     SPLINE_SURFACE = 12  # matlab/+redmax/JointSplineSurface.m (tensor-product)
+    COMPOSITE_RP = 13  # matlab/+redmax/JointComposite.m (revolute o prismatic)
 
 
 NDOF: Dict[JointType, int] = {
@@ -60,6 +61,7 @@ NDOF: Dict[JointType, int] = {
     JointType.SPLINE_CURVE: 1,
     JointType.FREE3D_EULER: 6,
     JointType.SPLINE_SURFACE: 2,
+    JointType.COMPOSITE_RP: 2,
 }
 
 # Joint types carrying a dynamic Euler chart index in State.aux["euler_chart"],

@@ -12,12 +12,15 @@ from redmax_tpu import integrators
 from redmax_tpu.scenes_matlab import M_SCENES, build_mscene
 
 
-@pytest.mark.parametrize("sid", sorted(M_SCENES))
+@pytest.mark.parametrize("sid", sorted(set(M_SCENES) - {27, 31}))
 def test_euler_certificate(sid):
+    from redmax_tpu.scenes_matlab import scene_fn_05
+
     sc = build_mscene(sid)
+    sfn = scene_fn_05 if sid == 5 else None
     T0, V0 = sc.energies(sc.state0.q, sc.state0.qdot)
     step = sc.make_step("euler")
-    sim = jax.jit(integrators.make_simulate(step, sc.nsteps))
+    sim = jax.jit(integrators.make_simulate(step, sc.nsteps, scene_fn=sfn))
     final = sim(sc.params, sc.state0)
     T, V = sc.energies(final.q, final.qdot, final.aux)
     H = float(T) + float(V) - float(V0)
