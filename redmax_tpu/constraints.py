@@ -183,7 +183,14 @@ class ConstraintPrescJoint(_ConstraintBase):
         C = jnp.zeros((d, topo.nr), dtype=q.dtype)
         for k, dof in enumerate(self.dofs):
             C = C.at[k, dof].set(-1.0)
-        g = jnp.zeros(d, dtype=q.dtype)
+        # Position feedback when a q_target is prescribed (the reference's
+        # gr = presc.q - joint.q enters rhsG via baumgarte,
+        # ConstraintPrescJoint.m:22-28).
+        qt = cp.get("q_target")
+        if qt is not None:
+            g = qt - q[jnp.asarray(self.dofs)]
+        else:
+            g = jnp.zeros(d, dtype=q.dtype)
         gdot = cp["qdot_target"]
         return C, g, gdot
 

@@ -311,6 +311,37 @@ _CORNERS = np.array(
 )
 
 
+class ForcePointDirection(_ForceBase):
+    """Constant-direction force k*d_w applied at a body point.
+
+    Reference: SpringPointDirection (matlab/+redmax/SpringPointDirection.m):
+    wrench = Gamma(x)^T R^T (k d_w). NOTE the reference's computeEnergy_ is
+    commented out, so the certificate energy EXCLUDES this force's work —
+    energy() returns 0 to match.
+    The reference also DISABLES this force's stiffness matrix
+    (SpringPointDirection.m:84: K = 0*K) — so implicit_KD is False here.
+    params: xl [3], d [3] (world direction), k [].
+    """
+
+    implicit_KD = False
+
+    def __init__(self, key, body: int):
+        super().__init__(key)
+        self.body = body
+
+    def __call__(self, params, kin, J, phi, q, qdot):
+        fp = self.p(params)
+        E = kin.E_wi[self.body]
+        R = E[:3, :3]
+        G = se3.Gamma(fp["xl"])
+        fm = jnp.zeros((kin.E_wi.shape[0], 6), dtype=q.dtype)
+        fm = fm.at[self.body].add(G.T @ (R.T @ (fp["k"] * fp["d"])))
+        return jnp.zeros_like(q), fm
+
+    def energy(self, params, kin, q, qdot):
+        return jnp.zeros((), dtype=q.dtype)
+
+
 class ForceGroundCuboid(_ForceBase):
     """Penalty frictional ground contact on the 8 corners of a cuboid.
 

@@ -527,6 +527,13 @@ def make_euler_step(
             )
         fm_el = fm_cl.reshape(-1) - Dm_strip @ phi.reshape(-1)
         f0_m = fm_grav.reshape(-1) + fm_el
+        bd = params.get("body_damping")
+        if bd is not None:
+            # Body damping is one-sidedly implicit (Body.computeForceDamping
+            # force discarded in euler; D enters the LHS).
+            bd6 = jnp.repeat(bd, 6)
+            f0_m = f0_m + bd6 * phi.reshape(-1)
+            Dm = Dm - jnp.diag(bd6)
         for fcn in force_fns:
             if getattr(fcn, "custom_KD", False):
                 Kc, Dc = fcn.matlab_KD(params, kin, phi, q0, qdot0)

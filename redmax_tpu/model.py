@@ -188,7 +188,12 @@ def maximal_force(topo: Topology, params: Dict, kin: Kinematics, phi):
     grav_i = jnp.einsum("nji,j->ni", R_wi, params["g"])  # R_iw @ g
     mass = I[:, 3]
     fgrav = jnp.concatenate([jnp.zeros_like(grav_i), mass[:, None] * grav_i], axis=-1)
-    return fcor + fgrav
+    out = fcor + fgrav
+    bd = params.get("body_damping")
+    if bd is not None:
+        # Body viscous damping (matlab/+redmax/Body.m:160-180: -damping*phi)
+        out = out - bd[:, None] * phi
+    return out
 
 
 def closure_forces(

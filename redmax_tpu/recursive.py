@@ -100,9 +100,15 @@ def rhd_qddot(
     # External wrenches (springs etc.) in body frame -> joint frame.
     Ad_ij = se3.Ad(se3.inv(params["E0_ji"]))
     Ad_ijT = jnp.swapaxes(Ad_ij, -1, -2)
-    if force_fns:
+    bd = params.get("body_damping")
+    if force_fns or bd is not None:
         _, _, phi_b = jacobians(topo, params, kin, qdot)
-        _, fm_cl = closure_forces(topo, params, kin, phi_b, q, qdot, force_fns)
+        if force_fns:
+            _, fm_cl = closure_forces(topo, params, kin, phi_b, q, qdot, force_fns)
+        else:
+            fm_cl = jnp.zeros((N, 6), dtype=dtype)
+        if bd is not None:
+            fm_cl = fm_cl - bd[:, None] * phi_b
     else:
         fm_cl = jnp.zeros((N, 6), dtype=dtype)
     R_wi = kin.E_wi[:, :3, :3]

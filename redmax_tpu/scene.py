@@ -30,6 +30,7 @@ class _BodySpec:
     name: str = ""
     sides: Optional[np.ndarray] = None   # cuboid dimensions (contact needs them)
     radius: Optional[float] = None       # sphere radius (floor contact)
+    damping: float = 0.0                 # viscous body damping (Body.m:169)
 
 
 @dataclass
@@ -194,6 +195,9 @@ class SceneBuilder:
         self.bodies.append(spec)
         return len(self.bodies) - 1
 
+    def set_body_damping(self, body: int, d: float) -> None:
+        self.bodies[body].damping = d
+
     def set_body_transform(self, body: int, E_ji) -> None:
         self.bodies[body].E_ji = np.asarray(E_ji, dtype=np.float64)
 
@@ -340,6 +344,20 @@ class SceneBuilder:
                     "k": np.float64(k),
                     "d": np.float64(d),
                     "L": np.float64(L),
+                },
+            )
+        )
+
+    def force_point_direction(self, body, xl, d, k) -> None:
+        key = self._force_key()
+        self.forces.append(
+            (
+                "point_direction",
+                forces_mod.ForcePointDirection(key, body),
+                {
+                    "xl": np.asarray(xl, dtype=np.float64),
+                    "d": np.asarray(d, dtype=np.float64),
+                    "k": np.float64(k),
                 },
             )
         )
@@ -608,6 +626,9 @@ class SceneBuilder:
             "E0_pj": jnp.asarray(np.stack([j.E_pj for j in self.joints]), dtype=dtype),
             "E0_ji": jnp.asarray(np.stack([b.E_ji for b in self.bodies]), dtype=dtype),
             "I_i": jnp.asarray(np.stack([b.inertia for b in self.bodies]), dtype=dtype),
+            "body_damping": jnp.asarray(
+                np.array([b.damping for b in self.bodies]), dtype=dtype
+            ),
             "g": jnp.asarray(self.grav, dtype=dtype),
             "h": jnp.asarray(self.h, dtype=dtype),
             "stiffness": jnp.asarray(per_dof(lambda j: j.stiffness), dtype=dtype),

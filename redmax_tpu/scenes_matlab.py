@@ -307,6 +307,79 @@ def mscene_24() -> SceneBuilder:
     return b
 
 
+def mscene_09() -> SceneBuilder:
+    """case 9 'Hybrid dynamics': chain with a prescribed root joint whose
+    velocity follows a sigmoid profile (sceneFcn09), zero gravity, tEnd=10."""
+    b = SceneBuilder(name="Hybrid dynamics", h=2e-2, tEnd=10.0, grav=(0, 0, 0))
+    b.Hexpected = {"euler": 199570.9300431804149412}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0))
+    b.constraint_presc_joint(0, [0.0])
+    self_c = b.constraints[-1][1]
+    self_c["q_target"] = np.zeros(1)
+    return b
+
+
+def scene_fn_09(params, t):
+    """sceneFcn09 (testRedMaxScenes.m:1203-1225): sigmoid joint-velocity
+    target q(t) = b/(1+exp(-a s)), s = 2((t-t0)/(t1-t0) - 1/2)."""
+    import jax.numpy as jnp
+
+    t0, t1, a, bb = 0.0, 7.0, 7.0, 1.5 * jnp.pi
+    s = 2.0 * ((t - t0) / (t1 - t0) - 0.5)
+    dq = -(2 * a * bb * jnp.exp(a * ((2 * (t - t0)) / (t0 - t1) + 1))) / (
+        (t0 - t1) * (jnp.exp(a * ((2 * t - 2 * t0) / (t0 - t1) + 1)) + 1) ** 2
+    )
+    qv = jnp.where(t < t1, bb / (1 + jnp.exp(-a * s)), bb)
+    dq = jnp.where(t < t1, dq, 0.0)
+    cons = dict(params["constraints"])
+    key = next(iter(cons))
+    dtype = params["h"].dtype
+    cons[key] = {
+        **cons[key],
+        "qdot_target": jnp.array([dq], dtype),
+        "q_target": jnp.array([qv], dtype),
+    }
+    return {**params, "constraints": cons}
+
+
+def mscene_10() -> SceneBuilder:
+    """case 10 'External world force': chain + SpringPointDirection +
+    body damping 1e1 (the sceneFcn10 wext is wiped by computeMassGrav and
+    is a no-op in every integrator — replicated by omission)."""
+    b = SceneBuilder(name="External world force", h=1e-2, tEnd=2.0, grav=(0, 0, 0))
+    b.Hexpected = {"euler": 1088.3425711375120954,
+                   "ode45": 1210.7099042740403547,
+                   "ode45_recursive": 1210.7099042740396726}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]), axis=(0, 1, 0))
+        b.set_body_damping(body, 1e1)
+    b.force_point_direction(2, [5, 0, 0], [0, 0, 1], 1e3)
+    return b
+
+
+def mscene_11() -> SceneBuilder:
+    """case 11 'Joint stiffness and damping', zero gravity, tEnd=5."""
+    b = SceneBuilder(name="Joint stiffness and damping", h=2e-2, tEnd=5.0,
+                     grav=(0, 0, 0))
+    b.Hexpected = {"euler": 2659.7218894234238178,
+                   "ode45": 2898.56113448227,
+                   "ode45_recursive": 2898.56113448227}
+    for i in range(3):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        qdot = [1.0] if i == 0 else None
+        j = b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                    E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+                    axis=(0, 1, 0), qdot=qdot)
+        b.set_stiffness(j, 1e4)
+        b.set_damping(j, 1e3)
+    return b
+
+
 def mscene_12() -> SceneBuilder:
     """case 12 'Mass-springs': 2-link chain + two DeformableSprings.
 
@@ -470,6 +543,9 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     -1: mscene_m1,
     3: mscene_03,
     5: mscene_05,
+    9: mscene_09,
+    10: mscene_10,
+    11: mscene_11,
     0: mscene_00,
     1: mscene_01,
     4: mscene_04,

@@ -28,6 +28,8 @@ CERTS = {
     17: (835.418079875333, 835.418079875333),         # translational joint
     18: (4.5466342688068826, 4.5466342688068924),     # free joint
     23: (-0.2671194855411159, -0.2671194856266084),   # point-to-point springs
+    10: (1210.7099042740396726, 1210.7099042740403547),  # body damping + dir force
+    11: (2898.56113448227, 2898.56113448227),         # joint stiffness+damping
 }
 
 # Scene 21 (spline curve): the adaptive controller's accept/reject sequence
