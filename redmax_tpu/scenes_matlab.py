@@ -143,6 +143,26 @@ def mscene_08() -> SceneBuilder:
     return b
 
 
+def mscene_02() -> SceneBuilder:
+    """case 2 'Branching': revolute x/z/x/y tree."""
+    b = SceneBuilder(name="Branching", h=1e-2, tEnd=2.0)
+    b.Hexpected = {"euler": -1123.9825362491046690,
+                   "ode45": -3.2850447782984702,
+                   "ode45_recursive": -3.2850447686942061}
+    sides = [(1, 1, 10), (1, 20, 1), (1, 1, 10), (1, 1, 10)]
+    E_ji = [transl([0, 0, -5]), np.eye(4), transl([0, 0, -5]), transl([0, 0, -5])]
+    axes = [(1, 0, 0), (0, 0, 1), (1, 0, 0), (0, 1, 0)]
+    E_pj = [transl([0, 0, 15]), transl([0, 0, -10]),
+            transl([0, -10, 0]), transl([0, 10, 0])]
+    parents = [None, 0, 1, 1]
+    qs = [0.0, 0.0, math.pi / 4, math.pi / 4]
+    for i in range(4):
+        body = b.body_cuboid(1.0, sides[i], E_ji=E_ji[i])
+        b.joint(JointType.REVOLUTE, parents[i], body, E_pj=E_pj[i],
+                axis=axes[i], q=[qs[i]])
+    return b
+
+
 def mscene_03() -> SceneBuilder:
     """case 3 'Spherical joint' (exp coords), euler only, tEnd=3."""
     b = SceneBuilder(name="Spherical joint", h=1e-2, tEnd=3.0)
@@ -539,8 +559,62 @@ def mscene_31() -> SceneBuilder:
     return b
 
 
+def mscene_34() -> SceneBuilder:
+    """case 34 'Gears': OBJ gear meshes on cylinder axles coupled by
+    ConstraintMultQ(factor=-1), cm-g-s units, tEnd=1."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Gears", h=1e-2, tEnd=1.0)
+    b.Hexpected = {"euler": -39.5338848225347874,
+                   "ode45": -0.1839463800738486,
+                   "ode45_recursive": -0.1839463800694148}
+    E0 = _rot([1, 0, 0], math.pi / 2)
+    obj = "/root/reference/matlab/gears.obj"
+    # main bar (fixed)
+    b0 = b.body_cuboid(1.0, (1, 1, 6))
+    b.joint(JointType.FIXED, None, b0, E_pj=_rot([0, 0, 1], math.pi))
+    # top axle
+    b1 = b.body_cylinder(1.0, 0.2, 3.5, E_ji=_rot([1, 0, 0], math.pi / 2))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([0, -0.25, 2]), axis=(0, 1, 0))
+    # top gear
+    b2 = b.body_mesh_obj(0.1, obj)
+    b.set_body_transform(b2, E0 @ b.bodies[b2].E_oi)
+    b.joint(JointType.FIXED, 1, b2, E_pj=transl([0, -0.35, 0]))
+    # bottom axle
+    b3 = b.body_cylinder(1.0, 0.2, 3.0, E_ji=_rot([1, 0, 0], math.pi / 2))
+    b.joint(JointType.REVOLUTE, 0, b3, E_pj=transl([0, -0.5, -2]), axis=(0, 1, 0))
+    # bottom gear
+    b4 = b.body_mesh_obj(0.1, obj)
+    b.set_body_transform(b4, E0 @ b.bodies[b4].E_oi)
+    b.joint(JointType.FIXED, 3, b4, E_pj=transl([0, -0.1, 0]))
+    # bottom bar
+    b5 = b.body_cuboid(1.0, (5, 0.25, 0.25), E_ji=transl([0, 1.5, 0]))
+    b.joint(JointType.FIXED, 3, b5)
+    # top bar
+    b6 = b.body_cuboid(1.0, (7, 0.25, 0.25), E_ji=transl([2, 1.75, 0]))
+    b.joint(JointType.FIXED, 1, b6)
+    b.constraint_multq(1, 3, -1.0)
+    return b
+
+
+def mscene_35() -> SceneBuilder:
+    """case 35 '2D free joint': JointFree2D + revolute(z), y-down weak
+    gravity, tEnd=10."""
+    b = SceneBuilder(name="2D free joint", h=1e-2, tEnd=10.0, grav=(0, -1, 0))
+    b.Hexpected = {"euler": 166.9232451756938644,
+                   "ode45": 167.0835245643319240,
+                   "ode45_recursive": 167.0835245643339135}
+    b0 = b.body_cuboid(1.0, (10, 1, 1))
+    b.joint(JointType.FREE2D, None, b0, qdot=[0, 0, 1])
+    b1 = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([5, 0, 0]), axis=(0, 0, 1),
+            qdot=[-1.0])
+    return b
+
+
 M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     -1: mscene_m1,
+    2: mscene_02,
     3: mscene_03,
     5: mscene_05,
     9: mscene_09,
@@ -567,6 +641,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     22: mscene_22,
     27: mscene_27,
     31: mscene_31,
+    34: mscene_34,
+    35: mscene_35,
 }
 
 

@@ -30,6 +30,9 @@ CERTS = {
     23: (-0.2671194855411159, -0.2671194856266084),   # point-to-point springs
     10: (1210.7099042740396726, 1210.7099042740403547),  # body damping + dir force
     11: (2898.56113448227, 2898.56113448227),         # joint stiffness+damping
+    2: (-3.2850447686942061, -3.2850447782984702),    # branching tree
+    34: (-0.1839463800694148, -0.1839463800738486),   # gears (OBJ mesh + MultQ)
+    35: (167.0835245643339135, 167.0835245643319240), # 2D free joint
 }
 
 # Scene 21 (spline curve): the adaptive controller's accept/reject sequence
