@@ -194,6 +194,13 @@ class ConstraintPrescJoint(_ConstraintBase):
         gdot = cp["qdot_target"]
         return C, g, gdot
 
+    def eq_r_acc(self, params, topo, kin, phi, q, qdot):
+        cp = self.p(params)
+        qddt = cp.get("qddot_target")
+        if qddt is None:
+            return jnp.zeros(len(self.dofs), dtype=q.dtype)
+        return qddt
+
 
 class ConstraintPrescBody(_ConstraintBase):
     """Prescribed body motion on selected twist components
@@ -217,6 +224,52 @@ class ConstraintPrescBody(_ConstraintBase):
         g = jnp.zeros(d, dtype=q.dtype)
         gdot = cp["phi_target"]
         return G, g, gdot
+
+
+class ConstraintPrescBodyW(_ConstraintBase):
+    """Prescribed body motion with WORLD-frame linear targets
+    (ConstraintPrescBody + the sceneFcn13/20 transform,
+    testRedMaxScenes.m:1237-1279): targets vt_w (world linear velocity) and
+    wt_i (body angular velocity) become body-twist targets
+        phi_t = [wt_i; R^T vt_w]
+    and acceleration targets
+        phidot_t = [wtdot_i; R^T vtdot_w - w x (R^T vt_w)].
+    params: vt_w, wt_i, vtdot_w, wtdot_i (all [3], typically time-varying
+    via scene_fn). comps: 0-based twist component indices.
+    """
+
+    def __init__(self, key, body: int, comps: Sequence[int]):
+        super().__init__(key)
+        self.body = body
+        self.comps = tuple(comps)
+        self.n_eq_m = len(self.comps)
+
+    def _targets(self, params, kin, phi):
+        cp = self.p(params)
+        R = kin.E_wi[self.body][:3, :3]
+        vt_i = R.T @ cp["vt_w"]
+        phi_t = jnp.concatenate([cp["wt_i"], vt_i])
+        w = phi[self.body][:3]
+        phidot_t = jnp.concatenate(
+            [cp["wtdot_i"], R.T @ cp["vtdot_w"] - jnp.cross(w, vt_i)]
+        )
+        sel = jnp.asarray(self.comps)
+        return phi_t[sel], phidot_t[sel]
+
+    def eq_m(self, params, topo, kin, phi, q, qdot):
+        N = topo.njoints
+        d = len(self.comps)
+        G = jnp.zeros((d, 6 * N), dtype=q.dtype)
+        for k, comp in enumerate(self.comps):
+            G = G.at[k, 6 * self.body + comp].set(-1.0)
+        g = jnp.zeros(d, dtype=q.dtype)
+        gdot, _ = self._targets(params, kin, phi)
+        return G, g, gdot
+
+    def eq_m_acc(self, params, topo, kin, phi, q, qdot):
+        """gddot rows for the acceleration-level (ode45) path."""
+        _, gddot = self._targets(params, kin, phi)
+        return gddot
 
 
 class ConstraintAttachPoint(_ConstraintBase):
@@ -280,20 +333,31 @@ def assemble_constraints(
     Geq: List = []
     geq: List = []
     geqdot: List = []
+    geqddot: List = []
     Cin: List = []
     cin: List = []
     act: List = []
+
+    def acc_rows(con, nrows):
+        if hasattr(con, "eq_m_acc"):
+            return con.eq_m_acc(params, topo, kin, phi, q, qdot)
+        if hasattr(con, "eq_r_acc"):
+            return con.eq_r_acc(params, topo, kin, phi, q, qdot)
+        return jnp.zeros(nrows, dtype=dtype)
+
     for con in constraint_fns:
         if con.n_eq_m:
             G, g, gd = con.eq_m(params, topo, kin, phi, q, qdot)
             Geq.append(G @ J)
             geq.append(g)
             geqdot.append(gd)
+            geqddot.append(acc_rows(con, con.n_eq_m))
         if con.n_eq_r:
             G, g, gd = con.eq_r(params, topo, kin, phi, q, qdot)
             Geq.append(G)
             geq.append(g)
             geqdot.append(gd)
+            geqddot.append(acc_rows(con, con.n_eq_r))
         if con.n_ineq_m:
             C, c, a = con.ineq_m(params, topo, kin, phi, q, qdot)
             Cin.append(C @ J)
@@ -316,6 +380,7 @@ def assemble_constraints(
         "Geq": cat(Geq, nr),
         "geq": cat(geq, 0),
         "geqdot": cat(geqdot, 0),
+        "geqddot": cat(geqddot, 0),
         "Cin": cat(Cin, nr),
         "cin": cat(cin, 0),
         "act": (

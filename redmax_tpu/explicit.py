@@ -78,7 +78,7 @@ def make_deriv_dense(topo: Topology, force_fns: Tuple = (), constraint_fns: Tupl
         me = rows["Geq"].shape[0]
         mi = rows["Cin"].shape[0]
         rhsG = (
-            -Gdot_qdot
+            -(Gdot_qdot + rows["geqddot"])
             - 2 * b1 * (rows["Geq"] @ qdot + rows["geqdot"])
             - b2 * b2 * rows["geq"]
         )

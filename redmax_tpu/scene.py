@@ -515,6 +515,17 @@ class SceneBuilder:
             )
         )
 
+    def constraint_presc_body_w(self, body: int, comps) -> None:
+        """World-frame prescribed body motion (targets set via scene_fn)."""
+        key = self._con_key()
+        z = np.zeros(3)
+        self.constraints.append(
+            (
+                con_mod.ConstraintPrescBodyW(key, body, comps),
+                {"vt_w": z, "wt_i": z, "vtdot_w": z, "wtdot_i": z},
+            )
+        )
+
     def constraint_presc_body(self, body: int, comps, phi_target) -> None:
         key = self._con_key()
         self.constraints.append(

@@ -400,6 +400,107 @@ def mscene_11() -> SceneBuilder:
     return b
 
 
+def _presc_body_profile(t):
+    """The piecewise vt_w/wt_i profile shared by sceneFcn13/20
+    (testRedMaxScenes.m:1237-1279), branchless."""
+    import jax.numpy as jnp
+
+    z3 = jnp.zeros(3)
+    def w(y):  # wt about y
+        return jnp.array([0.0, 1.0, 0.0]) * y
+    def vx(x):
+        return jnp.array([1.0, 0.0, 0.0]) * x
+
+    in1 = t < 2.0
+    in2 = (t >= 2.0) & (t < 4.0)
+    in3 = (t >= 4.0) & (t < 6.0)
+    in4 = (t >= 6.0) & (t < 8.0)
+    wt = jnp.where(in1, w(-t),
+         jnp.where(in2, w(t - 4.0),
+         jnp.where(in3, w(t - 4.0),
+         jnp.where(in4, w(-(t - 8.0)), z3))))
+    vt = jnp.where(in3, vx(-2 * (t - 4.0)),
+         jnp.where(in4, vx(2 * (t - 8.0)), z3))
+    wtd = jnp.where(in1, w(-1.0),
+          jnp.where(in2 | in3, w(1.0),
+          jnp.where(in4, w(-1.0), z3)))
+    vtd = jnp.where(in3, vx(-2.0), jnp.where(in4, vx(2.0), z3))
+    return vt, wt, vtd, wtd
+
+
+def scene_fn_13(params, t):
+    """sceneFcn13: prescribed world-frame motion of the last body."""
+    vt, wt, vtd, wtd = _presc_body_profile(t)
+    cons = dict(params["constraints"])
+    key = next(k for k, v in cons.items() if "vt_w" in v)
+    cons[key] = {**cons[key], "vt_w": vt, "wt_i": wt,
+                 "vtdot_w": vtd, "wtdot_i": wtd}
+    return {**params, "constraints": cons}
+
+
+def scene_fn_20(params, t):
+    """sceneFcn20: body profile (as 13) + sigmoid prescribed joint 3."""
+    import jax.numpy as jnp
+
+    params = scene_fn_13(params, t)
+    t0, t1, a, bb = 0.0, 10.0, 7.0, jnp.pi / 2
+    s = 2.0 * ((t - t0) / (t1 - t0) - 0.5)
+    qv = bb / (1 + jnp.exp(-a * s))
+    dq = -(2 * a * bb * jnp.exp(a * ((2 * (t - t0)) / (t0 - t1) + 1))) / (
+        (t0 - t1) * (jnp.exp(a * ((2 * t - 2 * t0) / (t0 - t1) + 1)) + 1) ** 2
+    )
+    ddq = (8 * a**2 * bb * jnp.exp(2 * a * ((2 * (t - t0)) / (t0 - t1) + 1))) / (
+        (t0 - t1) ** 2 * (jnp.exp(a * ((2 * t - 2 * t0) / (t0 - t1) + 1)) + 1) ** 3
+    ) - (4 * a**2 * bb * jnp.exp(a * ((2 * (t - t0)) / (t0 - t1) + 1))) / (
+        (t0 - t1) ** 2 * (jnp.exp(a * ((2 * t - 2 * t0) / (t0 - t1) + 1)) + 1) ** 2
+    )
+    cons = dict(params["constraints"])
+    key = next(k for k, v in cons.items() if "qdot_target" in v)
+    dtype = params["h"].dtype
+    cons[key] = {**cons[key],
+                 "q_target": jnp.array([qv], dtype),
+                 "qdot_target": jnp.array([dq], dtype),
+                 "qddot_target": jnp.array([ddq], dtype)}
+    return {**params, "constraints": cons}
+
+
+def mscene_13() -> SceneBuilder:
+    """case 13 'Maximal hybrid dynamics': 4-link chain, last body's motion
+    prescribed in world frame (comps wy, vx, vz), h=5e-2, tEnd=10."""
+    b = SceneBuilder(name="Maximal hybrid dynamics", h=5e-2, tEnd=10.0)
+    b.Hexpected = {"euler": -765.6565884021354123,
+                   "ode45": 18805.7787972479818563}
+    sides = [(1, 1, 10), (10, 1, 1), (1, 1, 10), (10, 1, 1)]
+    E_ji = [transl([0, 0, -5]), transl([5, 0, 0]), transl([0, 0, 5]), transl([5, 0, 0])]
+    E_pj = [np.eye(4), transl([0, 0, -10]), transl([10, 0, 0]), transl([0, 0, 10])]
+    for i in range(4):
+        body = b.body_cuboid(1.0, sides[i], E_ji=E_ji[i])
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=E_pj[i], axis=(0, 1, 0))
+    b.constraint_presc_body_w(3, [1, 3, 5])  # wy, vx, vz (matlab comps 2,4,6)
+    return b
+
+
+def mscene_20() -> SceneBuilder:
+    """case 20 'Reduced/maximal hybrid dynamics': 5-link chain; last body
+    world-prescribed AND joint 3 sigmoid-prescribed, h=5e-2, tEnd=10."""
+    b = SceneBuilder(name="Reduced/maximal hybrid dynamics", h=5e-2, tEnd=10.0)
+    b.Hexpected = {"euler": 50368.3587015155280824,
+                   "ode45": 72822.5867580034246203}
+    sides = [(1, 1, 10), (10, 1, 1), (10, 1, 1), (1, 1, 10), (10, 1, 1)]
+    E_ji = [transl([0, 0, -5]), transl([5, 0, 0]), transl([5, 0, 0]),
+            transl([0, 0, 5]), transl([5, 0, 0])]
+    E_pj = [np.eye(4), transl([0, 0, -10]), transl([10, 0, 0]),
+            transl([10, 0, 0]), transl([0, 0, 10])]
+    for i in range(5):
+        body = b.body_cuboid(1.0, sides[i], E_ji=E_ji[i])
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, body,
+                E_pj=E_pj[i], axis=(0, 1, 0))
+    b.constraint_presc_body_w(4, [1, 3, 5])
+    b.constraint_presc_joint(2, [0.0])
+    return b
+
+
 def mscene_12() -> SceneBuilder:
     """case 12 'Mass-springs': 2-link chain + two DeformableSprings.
 
@@ -627,6 +728,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     7: mscene_07,
     8: mscene_08,
     12: mscene_12,
+    13: mscene_13,
+    20: mscene_20,
     14: mscene_14,
     15: mscene_15,
     16: mscene_16,
