@@ -84,45 +84,120 @@ def revolute_ring(axis, E_ij, radius=1.0, height=1.0):
     return np.stack(pos), np.stack(nor), np.stack(tan)
 
 
-class FrictionModel(NamedTuple):
-    """Static friction data for a compiled scene.
+class Ring(NamedTuple):
+    """Static contact-ring data for one joint.
 
-    ring_joints: joint indices with internal-friction rings (static tuple).
-    pos/nor/tan: [R, C, 3] ring geometry in child-body frame.
-    floor_cons: tuple of ConstraintFloor objects with external friction.
-    nt: total tangent rows = R*C + 2*len(floor_cons).
+    pos/nor: [C,3] contact points/normals (child-body frame).
+    tan: [R,3] tangent per T-row; row_pos [R,3] the row's contact point.
+    limit_map: ((row, (contact ids summed for the bound)), ...) — rows not
+    listed get zero-width boxes (the reference's idx exclusion).
     """
 
-    ring_joints: Tuple[int, ...]
+    joint: int
     pos: np.ndarray
     nor: np.ndarray
     tan: np.ndarray
+    row_pos: np.ndarray
+    limit_map: Tuple
+
+
+def revolute_ring_obj(j, axis, E_ij, radius=1.0, height=1.0) -> Ring:
+    pos, nor, tan = revolute_ring(axis, E_ij, radius, height)
+    lm = tuple((2 * k, (2 * k, 2 * k + 1)) for k in range(len(pos) // 2))
+    return Ring(j, pos, nor, tan, pos.copy(), lm)
+
+
+def prismatic_ring_obj(j, axis, E_ij, sides=(0.5, 0.5, 0.5)) -> Ring:
+    """JointPrismatic.generateContacts_ (matlab/+redmax/JointPrismatic.m:35-95):
+    16 contacts on a scaled unit box aligned with the slide axis; all rows
+    share the axis tangent; pairs share positions."""
+    axis = np.asarray(axis, dtype=np.float64)
+    z = np.array([0.0, 0.0, 1.0])
+    angle = math.acos(max(-1.0, min(float(axis @ z), 1.0)))
+    E_ja = np.eye(4)
+    E_ja[:3, :3] = _aa_to_mat_np(np.cross(axis, z), angle)
+    S = np.diag(list(sides) + [1.0])
+    E_ia = np.asarray(E_ij) @ S @ E_ja
+    tan_i = E_ia[:3, :3] @ z
+    tan_i = tan_i / np.linalg.norm(tan_i)
+    pos, nor, tan = [], [], []
+    corners = {
+        (0, 0): ([-0.5, -0.5], [1, 0, 0], [0, 1, 0]),
+        (0, 1): ([-0.5, 0.5], [1, 0, 0], [0, -1, 0]),
+        (1, 0): ([0.5, -0.5], [-1, 0, 0], [0, 1, 0]),
+        (1, 1): ([0.5, 0.5], [-1, 0, 0], [0, -1, 0]),
+    }
+    for kz in (0, 1):
+        zz = kz - 0.5
+        for (kx, ky), (xy, n1, n2) in corners.items():
+            pa = np.array([xy[0], xy[1], zz])
+            pi = E_ia[:3, :3] @ pa + E_ia[:3, 3]
+            for na in (n1, n2):
+                ni = E_ia[:3, :3] @ np.asarray(na, dtype=np.float64)
+                ni = ni / np.linalg.norm(ni)
+                pos.append(pi)
+                nor.append(ni)
+                tan.append(tan_i)
+    pos = np.stack(pos)
+    lm = tuple((2 * k, (2 * k, 2 * k + 1)) for k in range(len(pos) // 2))
+    return Ring(-1, pos, np.stack(nor), np.stack(tan), pos.copy(), lm)._replace()
+
+
+def spherical_ring_obj(j, E_ij, radius=1.0) -> Ring:
+    """JointSphericalExp.generateContacts_ (:93-118): 6 contacts on the
+    sphere (3 axes x +-), TWO tangent rows per contact."""
+    E_ij = np.asarray(E_ij)
+    pos, nor, tan, row_pos = [], [], [], []
+    for k in range(3):
+        R_jc = np.eye(3)
+        if k == 1:
+            R_jc = R_jc[:, [1, 2, 0]]
+        elif k == 2:
+            R_jc = R_jc[:, [2, 0, 1]]
+        for sgn in (-1.0, 1.0):
+            R = sgn * R_jc
+            x = -radius * R[:, 0]
+            E_jc = np.eye(4)
+            E_jc[:3, :3] = R
+            E_jc[:3, 3] = x
+            E_ic = E_ij @ E_jc
+            p = E_ic[:3, 3]
+            pos.append(p)
+            nor.append(E_ic[:3, 0])
+            tan.append(E_ic[:3, 1]); row_pos.append(p)
+            tan.append(E_ic[:3, 2]); row_pos.append(p)
+    lm = tuple(x for i in range(6) for x in ((2 * i, (i,)), (2 * i + 1, (i,))))
+    return Ring(j, np.stack(pos), np.stack(nor), np.stack(tan),
+                np.stack(row_pos), lm)
+
+
+class FrictionModel(NamedTuple):
+    """Static friction data: joint rings + floor constraints."""
+
+    rings: Tuple  # of Ring
     floor_cons: Tuple
 
 
 def build_friction_model(
     topo: Topology, joint_specs, body_specs, constraint_fns
 ) -> FrictionModel:
-    """Collect rings for all revolute joints + floor constraints with
-    external friction. joint_specs/body_specs: SceneBuilder spec lists
-    (joint i owns body i; E_ij = inv(body.E_ji))."""
+    """Collect contact rings for revolute/prismatic/spherical joints +
+    floor constraints with external friction."""
     from redmax_tpu.types import JointType
 
-    ring_joints, pos, nor, tan = [], [], [], []
+    rings = []
     for j, spec in enumerate(joint_specs):
+        E_ij = np.linalg.inv(np.asarray(body_specs[j].E_ji))
         if spec.jtype == JointType.REVOLUTE:
-            E_ij = np.linalg.inv(np.asarray(body_specs[j].E_ji))
-            p, n, t = revolute_ring(spec.params["axis"], E_ij)
-            ring_joints.append(j)
-            pos.append(p); nor.append(n); tan.append(t)
+            rings.append(revolute_ring_obj(j, spec.params["axis"], E_ij))
+        elif spec.jtype == JointType.PRISMATIC:
+            r = prismatic_ring_obj(j, spec.params["axis"], E_ij,
+                                   getattr(spec, "contact_sides", (0.5, 0.5, 0.5)))
+            rings.append(r._replace(joint=j))
+        elif spec.jtype == JointType.SPHERICAL:
+            rings.append(spherical_ring_obj(j, E_ij))
     floor = tuple(c for c in constraint_fns if isinstance(c, ConstraintFloor))
-    return FrictionModel(
-        ring_joints=tuple(ring_joints),
-        pos=np.stack(pos) if pos else np.zeros((0, RING_C, 3)),
-        nor=np.stack(nor) if nor else np.zeros((0, RING_C, 3)),
-        tan=np.stack(tan) if tan else np.zeros((0, RING_C, 3)),
-        floor_cons=floor,
-    )
+    return FrictionModel(rings=tuple(rings), floor_cons=floor)
 
 
 def _gamma_rows(vec, pos):
@@ -132,22 +207,23 @@ def _gamma_rows(vec, pos):
 
 
 def tangent_matrix(fm: FrictionModel, topo: Topology, kin, params, q, qdot):
-    """T [nt, 6N] (Joint.computeTangentMatrix, JointRevolute.m:83-96 +
-    ConstraintFloor.computeTangentMatrix_)."""
+    """T [nt, 6N]: per-ring rows + 2 rows per floor contact."""
     N = topo.njoints
     dtype = q.dtype
     rows = []
-    for r, j in enumerate(fm.ring_joints):
-        pos = jnp.asarray(fm.pos[r], dtype=dtype)
-        tan = jnp.asarray(fm.tan[r], dtype=dtype)
-        Tj = jnp.zeros((RING_C, 6 * N), dtype=dtype)
-        Tj = Tj.at[:, 6 * j: 6 * j + 6].set(_gamma_rows(tan, pos))
+    for ring in fm.rings:
+        j = ring.joint
+        tan = jnp.asarray(ring.tan, dtype=dtype)
+        rpos = jnp.asarray(ring.row_pos, dtype=dtype)
+        R = tan.shape[0]
+        Tj = jnp.zeros((R, 6 * N), dtype=dtype)
+        Tj = Tj.at[:, 6 * j: 6 * j + 6].set(_gamma_rows(tan, rpos))
         p = topo.parent[j]
         if p >= 0:
             E_pi = se3.inv(kin.E_wi[p]) @ kin.E_wi[j]
             R_pi = E_pi[:3, :3]
             tan_p = tan @ R_pi.T
-            pos_p = pos @ R_pi.T + E_pi[:3, 3]
+            pos_p = rpos @ R_pi.T + E_pi[:3, 3]
             Tj = Tj.at[:, 6 * p: 6 * p + 6].set(-_gamma_rows(tan_p, pos_p))
         rows.append(Tj)
     for con in fm.floor_cons:
@@ -160,7 +236,7 @@ def tangent_matrix(fm: FrictionModel, topo: Topology, kin, params, q, qdot):
         x_c = x_f.at[2].add(-r_s)
         x_b = (se3.inv(E_wi) @ (E_f @ x_c))[:3]
         R_wi = E_wi[:3, :3]
-        tan_a = R_wi.T @ E_f[:3, :2]          # [3,2] floor x/y in body frame
+        tan_a = R_wi.T @ E_f[:3, :2]
         Tc = jnp.zeros((2, 6 * N), dtype=dtype)
         rows2 = _gamma_rows(tan_a.T, jnp.broadcast_to(x_b, (2, 3)))
         Tc = Tc.at[:, 6 * con.body: 6 * con.body + 6].set(rows2)
@@ -171,12 +247,8 @@ def tangent_matrix(fm: FrictionModel, topo: Topology, kin, params, q, qdot):
 
 
 def scatter_contact_force(fm: FrictionModel, topo: Topology, kin, fam):
-    """fam [6N] -> per-joint reaction wrenches fc [N, 6].
-
-    Backward traversal (Joint.scatterContactForce, Joint.m:652-679):
-    in reverse topological order, take the body's accumulated force as the
-    joint reaction, then add its parent-transformed negation to the parent.
-    """
+    """fam [6N] -> per-joint reaction wrenches fc [N, 6] (backward traversal,
+    Joint.scatterContactForce, Joint.m:652-679)."""
     N = topo.njoints
     f = fam.reshape(N, 6)
     fc = jnp.zeros((N, 6), dtype=fam.dtype)
@@ -193,46 +265,45 @@ def scatter_contact_force(fm: FrictionModel, topo: Topology, kin, fam):
 def contact_multipliers(
     fm: FrictionModel, topo: Topology, params, kin, fc, h, SPreg
 ):
-    """Per-ring multipliers a [R, C] (Joint.computeContactMultiplier)."""
+    """Per-ring multipliers: list of a [C] (Joint.computeContactMultiplier)."""
     dtype = fc.dtype
     outs = []
-    for r, j in enumerate(fm.ring_joints):
-        pos = jnp.asarray(fm.pos[r], dtype=dtype)
-        nor = jnp.asarray(fm.nor[r], dtype=dtype)
+    for ring in fm.rings:
+        j = ring.joint
+        pos = jnp.asarray(ring.pos, dtype=dtype)
+        nor = jnp.asarray(ring.nor, dtype=dtype)
+        C = pos.shape[0]
         p = topo.parent[j]
-        Nrows_child = _gamma_rows(nor, pos)             # [C,6]
+        Nrows_child = _gamma_rows(nor, pos)
         if p >= 0:
             E_pi = se3.inv(kin.E_wi[p]) @ kin.E_wi[j]
             R_pi = E_pi[:3, :3]
             nor_p = nor @ R_pi.T
             pos_p = pos @ R_pi.T + E_pi[:3, 3]
-            Nrows_par = -_gamma_rows(nor_p, pos_p)
-            Nmat = jnp.concatenate([Nrows_child, Nrows_par], axis=1)  # [C,12]
-            Minv = jnp.concatenate(
-                [1.0 / params["I_i"][j], 1.0 / params["I_i"][p]]
-            )
+            Nmat = jnp.concatenate([Nrows_child, -_gamma_rows(nor_p, pos_p)], axis=1)
+            Minv = jnp.concatenate([1.0 / params["I_i"][j], 1.0 / params["I_i"][p]])
             E_ip = se3.inv(kin.E_wi[j]) @ kin.E_wi[p]
             fvec = jnp.concatenate([fc[j], -se3.Ad(E_ip).T @ fc[j]])
         else:
             Nmat = Nrows_child
             Minv = 1.0 / params["I_i"][j]
             fvec = fc[j]
-        H = jnp.einsum("ck,k,dk->cd", Nmat, Minv, Nmat) + SPreg * jnp.eye(
-            RING_C, dtype=dtype
-        )
+        H = jnp.einsum("ck,k,dk->cd", Nmat, Minv, Nmat) + SPreg * jnp.eye(C, dtype=dtype)
         H = 0.5 * (H + H.T)
         fq = (Nmat @ (Minv * fvec)) * h
         outs.append(jnp.linalg.solve(H, fq))
-    return jnp.stack(outs) if outs else jnp.zeros((0, RING_C), dtype=dtype)
+    return outs
 
 
-def friction_bounds(fm: FrictionModel, a_ring, a_floor, mu_int, mu_ext, dtype):
-    """Box bounds bl/bu [nt] (computeFrictionLimits; pairs combined)."""
+def friction_bounds(fm: FrictionModel, a_rings, a_floor, mu_int, mu_ext, dtype):
+    """Box bounds bl/bu [nt] from per-ring limit maps + floor rows."""
     bls, bus = [], []
-    for r in range(len(fm.ring_joints)):
-        a = a_ring[r]
-        pair = jnp.abs(a[0::2]) + jnp.abs(a[1::2])      # [C/2]
-        lim = jnp.zeros(RING_C, dtype=dtype).at[0::2].set(mu_int * pair)
+    for ring, a in zip(fm.rings, a_rings):
+        R = ring.tan.shape[0]
+        lim = jnp.zeros(R, dtype=dtype)
+        for row, cids in ring.limit_map:
+            s = sum(jnp.abs(a[c]) for c in cids)
+            lim = lim.at[row].set(mu_int * s)
         bls.append(-lim)
         bus.append(lim)
     for i, con in enumerate(fm.floor_cons):
@@ -277,8 +348,6 @@ def make_euler_fric_step(
     from redmax_tpu.types import State
 
     floors = fm_model.floor_cons
-    n_ring = len(fm_model.ring_joints)
-    nt = n_ring * RING_C + 2 * len(floors)
 
     def step(params: Dict, state):
         q0, qdot0, aux = state.q, state.qdot, state.aux

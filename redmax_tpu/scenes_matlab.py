@@ -636,6 +636,37 @@ def mscene_27() -> SceneBuilder:
     return b
 
 
+def mscene_28() -> SceneBuilder:
+    """case 28 'Internal friction spherical': two exp-ball joints, mu=5."""
+    b = SceneBuilder(name="Internal friction spherical", h=1e-2, tEnd=1.0)
+    b.fric = True
+    b.mu = np.array([5.0, 0.6])
+    b.Hexpected = {"euler_fric": -184565.9459125697612762}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(JointType.SPHERICAL, None if i == 0 else i - 1, body,
+                E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]))
+    return b
+
+
+def mscene_29() -> SceneBuilder:
+    """case 29 'Internal friction prismatic': two x-sliders tilted Ry(pi/3),
+    mu=0.8, contact box sides [5,0.5,5]."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="Internal friction prismatic", h=1e-2, tEnd=1.0)
+    b.fric = True
+    b.mu = np.array([0.8, 0.6])
+    b.Hexpected = {"euler_fric": -256391.5065969563729595}
+    for i in range(2):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        b.joint(JointType.PRISMATIC, None if i == 0 else i - 1, body,
+                E_pj=_rot([0, 1, 0], math.pi / 3) if i == 0 else transl([10, 0, 0]),
+                axis=(1, 0, 0))
+        b.joints[-1].contact_sides = (5.0, 0.5, 5.0)
+    return b
+
+
 def mscene_31() -> SceneBuilder:
     """case 31: 'External friction' — 2-link chain + sphere on a floor.
 
@@ -743,6 +774,8 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     26: mscene_26,
     22: mscene_22,
     27: mscene_27,
+    28: mscene_28,
+    29: mscene_29,
     31: mscene_31,
     34: mscene_34,
     35: mscene_35,

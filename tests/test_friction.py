@@ -32,6 +32,15 @@ def test_external_friction_certificate():
     assert abs(H - sc.Hexpected["euler_fric"]) <= 1e-2
 
 
+@pytest.mark.parametrize("sid", [28, 29])
+def test_internal_friction_certificates(sid):
+    """Spherical (mu=5) and prismatic (mu=0.8) internal-friction scenes
+    match their REDMAX_EULER certificates to 1e-2."""
+    sc = build_mscene(sid)
+    H, _ = run_H(sc, sc.make_step("euler_fric"))
+    assert abs(H - sc.Hexpected["euler_fric"]) <= 1e-2
+
+
 def test_internal_friction_dissipates():
     sc = build_mscene(27)
     H, _ = run_H(sc, sc.make_step("euler_fric"))
