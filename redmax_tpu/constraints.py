@@ -226,6 +226,39 @@ class ConstraintPrescBody(_ConstraintBase):
         return G, g, gdot
 
 
+class ConstraintPrescJointM(_ConstraintBase):
+    """Prescribe a revolute joint purely via maximal rows
+    (matlab/+redmax/ConstraintPrescJointM.m:31-60): one row selecting the
+    joint-frame angular component along the hinge axis,
+        Gm[child] = row_a(Ad_ji),  Gm[parent] = -row_a(Ad_ji Ad_iw Ad_wp),
+    gdot = qdot_target (velocity-level only, as the reference enforces).
+    axis_idx: 0/1/2 for x/y/z hinge axes. params: qdot_target [].
+    """
+
+    n_eq_m = 1
+
+    def __init__(self, key, joint: int, parent_joint: int, axis_idx: int):
+        super().__init__(key)
+        self.joint = joint
+        self.parent = parent_joint
+        self.axis_idx = axis_idx
+
+    def eq_m(self, params, topo, kin, phi, q, qdot):
+        cp = self.p(params)
+        N = topo.njoints
+        dtype = q.dtype
+        Ad_ji = se3.Ad(params["E0_ji"][self.joint])
+        row_I = Ad_ji[self.axis_idx]
+        E_ip = se3.inv(kin.E_wi[self.joint]) @ kin.E_wi[self.parent]
+        row_P = -(Ad_ji @ se3.Ad(E_ip))[self.axis_idx]
+        G = jnp.zeros((1, 6 * N), dtype=dtype)
+        G = G.at[0, 6 * self.joint: 6 * self.joint + 6].set(row_I)
+        G = G.at[0, 6 * self.parent: 6 * self.parent + 6].set(row_P)
+        g = jnp.zeros(1, dtype=dtype)
+        gdot = jnp.reshape(cp["qdot_target"], (1,))
+        return G, g, gdot
+
+
 class ConstraintPrescBodyW(_ConstraintBase):
     """Prescribed body motion with WORLD-frame linear targets
     (ConstraintPrescBody + the sceneFcn13/20 transform,

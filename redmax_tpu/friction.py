@@ -171,11 +171,58 @@ def spherical_ring_obj(j, E_ij, radius=1.0) -> Ring:
                 np.stack(row_pos), lm)
 
 
+class LoopRing(NamedTuple):
+    """Contact ring of a loop-closure constraint (revolute geometry between
+    two non-tree bodies; ConstraintLoop.generateContactsJoint_,
+    matlab/+redmax/ConstraintLoop.m:79-118)."""
+
+    bodyA: int
+    bodyB: int
+    pos: np.ndarray        # [C,3] in bodyA frame
+    nor: np.ndarray
+    tan: np.ndarray        # [C,3] row tangents (one per contact)
+    limit_map: Tuple
+    eq_offset: int         # first row of this constraint in the stacked Gm
+    n_rows: int
+
+
+def loop_ring_obj(bodyA, bodyB, xA, axisA, eq_offset,
+                  radius=1.0, height=1.0) -> LoopRing:
+    axis = np.asarray(axisA, dtype=np.float64)
+    z = np.array([0.0, 0.0, 1.0])
+    angle = math.acos(max(-1.0, min(float(axis @ z), 1.0)))
+    E_ac = np.eye(4)
+    E_ac[:3, :3] = _aa_to_mat_np(np.cross(axis, z), angle)
+    E_ac[:3, 3] = np.asarray(xA, dtype=np.float64)
+    pos, nor, tan = [], [], []
+    for k in range(NTHETA):
+        theta = 2 * math.pi * k / NTHETA
+        s_, c_ = math.sin(theta), math.cos(theta)
+        nor_c = np.array([c_, s_, 0.0])
+        tan_c = np.array([-s_, c_, 0.0])
+        for i in range(2):
+            p_c = radius * nor_c.copy()
+            p_c[2] = height * (i - 0.5)
+            bin_c = np.cross(tan_c, nor_c)
+            pa = E_ac[:3, :3] @ p_c + E_ac[:3, 3]
+            pos.append(pa); nor.append(-(E_ac[:3, :3] @ nor_c))
+            tan.append(E_ac[:3, :3] @ tan_c)
+            bb = -bin_c if i == 0 else bin_c
+            pos.append(pa); nor.append(E_ac[:3, :3] @ bb)
+            tan.append(E_ac[:3, :3] @ tan_c)
+    pos = np.stack(pos)
+    lm = tuple((2 * k, (2 * k, 2 * k + 1)) for k in range(len(pos) // 2))
+    return LoopRing(bodyA, bodyB, pos, np.stack(nor), np.stack(tan), lm,
+                    eq_offset, 2)
+
+
 class FrictionModel(NamedTuple):
-    """Static friction data: joint rings + floor constraints."""
+    """Static friction data: joint rings + loop rings + floor constraints."""
 
     rings: Tuple  # of Ring
+    loop_rings: Tuple  # of LoopRing
     floor_cons: Tuple
+    eq_cons: Tuple  # equality-maximal constraints in stacking order
 
 
 def build_friction_model(
@@ -185,11 +232,18 @@ def build_friction_model(
     floor constraints with external friction."""
     from redmax_tpu.types import JointType
 
+    from redmax_tpu.constraints import ConstraintLoop
+
     rings = []
     for j, spec in enumerate(joint_specs):
         E_ij = np.linalg.inv(np.asarray(body_specs[j].E_ji))
         if spec.jtype == JointType.REVOLUTE:
-            rings.append(revolute_ring_obj(j, spec.params["axis"], E_ij))
+            r = revolute_ring_obj(
+                j, spec.params["axis"], E_ij,
+                getattr(spec, "contact_radius", 1.0),
+                getattr(spec, "contact_height", 1.0),
+            )
+            rings.append(r)
         elif spec.jtype == JointType.PRISMATIC:
             r = prismatic_ring_obj(j, spec.params["axis"], E_ij,
                                    getattr(spec, "contact_sides", (0.5, 0.5, 0.5)))
@@ -197,7 +251,19 @@ def build_friction_model(
         elif spec.jtype == JointType.SPHERICAL:
             rings.append(spherical_ring_obj(j, E_ij))
     floor = tuple(c for c in constraint_fns if isinstance(c, ConstraintFloor))
-    return FrictionModel(rings=tuple(rings), floor_cons=floor)
+    eq_cons = tuple(c for c in constraint_fns if c.n_eq_m)
+    loop_rings = []
+    off = 0
+    for c in eq_cons:
+        if isinstance(c, ConstraintLoop):
+            cp = c.static_params  # set by SceneBuilder.constraint_loop
+            loop_rings.append(
+                loop_ring_obj(c.bodyA, c.bodyB, cp["xA"], cp["axisA"], off,
+                              cp.get("radius", 1.0), cp.get("height", 1.0))
+            )
+        off += c.n_eq_m
+    return FrictionModel(rings=tuple(rings), loop_rings=tuple(loop_rings),
+                         floor_cons=floor, eq_cons=eq_cons)
 
 
 def _gamma_rows(vec, pos):
@@ -225,6 +291,20 @@ def tangent_matrix(fm: FrictionModel, topo: Topology, kin, params, q, qdot):
             tan_p = tan @ R_pi.T
             pos_p = rpos @ R_pi.T + E_pi[:3, 3]
             Tj = Tj.at[:, 6 * p: 6 * p + 6].set(-_gamma_rows(tan_p, pos_p))
+        rows.append(Tj)
+    for lr in fm.loop_rings:
+        tan = jnp.asarray(lr.tan, dtype=dtype)
+        pos = jnp.asarray(lr.pos, dtype=dtype)
+        R = tan.shape[0]
+        Tj = jnp.zeros((R, 6 * N), dtype=dtype)
+        Tj = Tj.at[:, 6 * lr.bodyA: 6 * lr.bodyA + 6].set(_gamma_rows(tan, pos))
+        E_ba = se3.inv(kin.E_wi[lr.bodyB]) @ kin.E_wi[lr.bodyA]
+        R_ba = E_ba[:3, :3]
+        tan_b = tan @ R_ba.T
+        pos_b = pos @ R_ba.T + E_ba[:3, 3]
+        Tj = Tj.at[:, 6 * lr.bodyB: 6 * lr.bodyB + 6].set(
+            -_gamma_rows(tan_b, pos_b)
+        )
         rows.append(Tj)
     for con in fm.floor_cons:
         cp = con.p(params)
@@ -295,6 +375,42 @@ def contact_multipliers(
     return outs
 
 
+def loop_multipliers(fm: FrictionModel, topo, params, kin, Gm, lam_eq, h, SPreg):
+    """Per-loop-ring multipliers a [C]
+    (ConstraintLoop.computeContactMultiplier_, ConstraintLoop.m:120-146):
+    fcon = Gm_rows^T lam / h on the two bodies; a solves
+    (N Minv N^T + reg) a = (N Minv fcon) h."""
+    dtype = lam_eq.dtype if lam_eq.size else jnp.float64
+    outs = []
+    for lr in fm.loop_rings:
+        pos = jnp.asarray(lr.pos, dtype=Gm.dtype)
+        nor = jnp.asarray(lr.nor, dtype=Gm.dtype)
+        C = pos.shape[0]
+        rows = Gm[lr.eq_offset: lr.eq_offset + lr.n_rows]
+        lam = lam_eq[lr.eq_offset: lr.eq_offset + lr.n_rows]
+        fcon_full = rows.T @ lam / h                       # [6N]
+        fA = fcon_full[6 * lr.bodyA: 6 * lr.bodyA + 6]
+        fB = fcon_full[6 * lr.bodyB: 6 * lr.bodyB + 6]
+        NA = _gamma_rows(nor, pos)                          # [C,6] on A
+        E_ba = se3.inv(kin.E_wi[lr.bodyB]) @ kin.E_wi[lr.bodyA]
+        R_ba = E_ba[:3, :3]
+        nor_b = nor @ R_ba.T
+        pos_b = pos @ R_ba.T + E_ba[:3, 3]
+        NB = -_gamma_rows(nor_b, pos_b)
+        Nmat = jnp.concatenate([NA, NB], axis=1)            # [C,12]
+        Minv = jnp.concatenate(
+            [1.0 / params["I_i"][lr.bodyA], 1.0 / params["I_i"][lr.bodyB]]
+        )
+        fvec = jnp.concatenate([fA, fB])
+        H = jnp.einsum("ck,k,dk->cd", Nmat, Minv, Nmat) + SPreg * jnp.eye(
+            C, dtype=Gm.dtype
+        )
+        H = 0.5 * (H + H.T)
+        fq = (Nmat @ (Minv * fvec)) * h
+        outs.append(jnp.linalg.solve(H, fq))
+    return outs
+
+
 def friction_bounds(fm: FrictionModel, a_rings, a_floor, mu_int, mu_ext, dtype):
     """Box bounds bl/bu [nt] from per-ring limit maps + floor rows."""
     bls, bus = [], []
@@ -304,6 +420,36 @@ def friction_bounds(fm: FrictionModel, a_rings, a_floor, mu_int, mu_ext, dtype):
         for row, cids in ring.limit_map:
             s = sum(jnp.abs(a[c]) for c in cids)
             lim = lim.at[row].set(mu_int * s)
+        bls.append(-lim)
+        bus.append(lim)
+    for i, con in enumerate(fm.floor_cons):
+        lim = jnp.broadcast_to(mu_ext * a_floor[i], (2,)).astype(dtype)
+        bls.append(-lim)
+        bus.append(lim)
+    if not bls:
+        return jnp.zeros(0, dtype), jnp.zeros(0, dtype)
+    return jnp.concatenate(bls), jnp.concatenate(bus)
+
+
+def friction_bounds_full(
+    fm: FrictionModel, a_rings, a_loops, a_floor, mu_int, mu_ext, dtype
+):
+    """Bounds over [joint rings | loop rings | floor rows]."""
+    bls, bus = [], []
+    for ring, a in zip(fm.rings, a_rings):
+        R = ring.tan.shape[0]
+        lim = jnp.zeros(R, dtype=dtype)
+        for row, cids in ring.limit_map:
+            ssum = sum(jnp.abs(a[c]) for c in cids)
+            lim = lim.at[row].set(mu_int * ssum)
+        bls.append(-lim)
+        bus.append(lim)
+    for lr, a in zip(fm.loop_rings, a_loops):
+        R = lr.tan.shape[0]
+        lim = jnp.zeros(R, dtype=dtype)
+        for row, cids in lr.limit_map:
+            ssum = sum(jnp.abs(a[c]) for c in cids)
+            lim = lim.at[row].set(mu_int * ssum)  # "Use internal mu"
         bls.append(-lim)
         bus.append(lim)
     for i, con in enumerate(fm.floor_cons):
@@ -331,9 +477,10 @@ def make_euler_fric_step(
 ):
     """One semi-implicit Euler step with staggered-projections friction.
 
-    Handles the reference's nem == 0 branches (no equality constraints):
-    pure internal friction (testRedMax.m:713-750) and floor-contact external
-    friction (testRedMax.m:607-711 with nim > 0).
+    Covers the reference's eulerFric branches (testRedMax.m:544-759):
+    no external constraints, inequality-only (floors), equality-only
+    (loop closures / maximal prescriptions), and mixed — with internal
+    joint rings, loop-constraint rings, and floor external friction.
     """
     from redmax_tpu.model import (
         closure_forces,
@@ -348,11 +495,11 @@ def make_euler_fric_step(
     from redmax_tpu.types import State
 
     floors = fm_model.floor_cons
+    eq_cons = fm_model.eq_cons
+    nem = sum(c.n_eq_m for c in eq_cons)
 
     def step(params: Dict, state):
         q0, qdot0, aux = state.q, state.qdot, state.aux
-        # fbm (friction force) warm-starts ACROSS steps: the reference
-        # initializes it once outside the time loop (testRedMax.m:562).
         fbm_prev = aux.get("fbm")
         h = params["h"]
         dtype = q0.dtype
@@ -375,6 +522,11 @@ def make_euler_fric_step(
         Km, Dm = maximal_force_KD(topo, params, kin, phi, q0, qdot0, force_fns)
         Km = 0.5 * (Km + Km.T)
         f0_m = fm_grav.reshape(-1) + fm_cl.reshape(-1) - Dm @ phi.reshape(-1)
+        bd = params.get("body_damping")
+        if bd is not None:
+            bd6 = jnp.repeat(bd, 6)
+            f0_m = f0_m + bd6 * phi.reshape(-1)
+            Dm = Dm - jnp.diag(bd6)
 
         Ivec = params["I_i"].reshape(-1)
         Mm = jnp.diag(Ivec)
@@ -389,100 +541,137 @@ def make_euler_fric_step(
 
         T = tangent_matrix(fm_model, topo, kin, params, q0, qdot0)
 
-        # Floor inequality rows (maximal) with active masks.
+        # Floor inequality rows (maximal, masked).
         nim = len(floors)
         if nim:
             Cm_rows, cm_vals, acts = [], [], []
             for con in floors:
                 C, c, a = con.ineq_m(params, topo, kin, phi, q0, qdot0)
                 Cm_rows.append(C); cm_vals.append(c); acts.append(a)
-            Cm = jnp.concatenate(Cm_rows)                  # [nim, 6N]
-            cm = jnp.concatenate(cm_vals)
+            Cm = jnp.concatenate(Cm_rows) * jnp.concatenate(acts).astype(dtype)[:, None]
             act = jnp.concatenate(acts)
-            Cm = Cm * act.astype(dtype)[:, None]
-            rhsC = jnp.where(act, -baum3 * cm, 0.0)
+            rhsC = jnp.where(act, -baum3 * jnp.concatenate(cm_vals), 0.0)
             CmJ = Cm @ J
             lo_c = jnp.zeros(nim, dtype)
             hi_c = jnp.where(act, jnp.inf, 0.0)
+
+        # Maximal equality rows (loops, maximal prescriptions).
+        if nem:
+            Gm_rows, gm_vals, gmd_vals = [], [], []
+            for con in eq_cons:
+                G, g, gd = con.eq_m(params, topo, kin, phi, q0, qdot0)
+                Gm_rows.append(G); gm_vals.append(g); gmd_vals.append(gd)
+            Gm = jnp.concatenate(Gm_rows)
+            rhsG = -jnp.concatenate(gmd_vals) - baum3 * jnp.concatenate(gm_vals)
+            GmJ = Gm @ J
+            lo_g = jnp.full(nem, -jnp.inf, dtype)
+            hi_g = jnp.full(nem, jnp.inf, dtype)
 
         Mmt_inv = jnp.linalg.inv(Mmtilde)
         Mrt_lu = jax.scipy.linalg.lu_factor(Mrtilde)
         r_solve = lambda b: jax.scipy.linalg.lu_solve(Mrt_lu, b)
 
-        def contact_pass(fbm):
-            """-> (fam [6N], a_floor [nim])."""
-            rhsM = fmtilde + h * fbm
+        def _stack():
+            """[Cm; Gm] rows for the dual (matlab CGm ordering)."""
+            As, bs, los, his = [], [], [], []
             if nim:
-                vuncb, _ = qp_pgs(Mmtilde, rhsM, Cm, rhsC, lo_c, hi_c, pgs_iters)
+                As.append(Cm); bs.append(rhsC); los.append(lo_c); his.append(hi_c)
+            if nem:
+                As.append(Gm); bs.append(rhsG); los.append(lo_g); his.append(hi_g)
+            return (jnp.concatenate(As), jnp.concatenate(bs),
+                    jnp.concatenate(los), jnp.concatenate(his))
+
+        def _stack_red():
+            As, bs, los, his = [], [], [], []
+            if nim:
+                As.append(CmJ); bs.append(rhsC); los.append(lo_c); his.append(hi_c)
+            if nem:
+                As.append(GmJ); bs.append(rhsG); los.append(lo_g); his.append(hi_g)
+            return (jnp.concatenate(As), jnp.concatenate(bs),
+                    jnp.concatenate(los), jnp.concatenate(his))
+
+        def contact_pass(fbm):
+            """-> (fam [6N], a_floor [nim], lam_eq [nem])."""
+            rhsM = fmtilde + h * fbm
+            if nim or nem:
+                Am, bm, lom, him = _stack()
+                vuncb, _ = qp_pgs(Mmtilde, rhsM, Am, bm, lom, him, pgs_iters)
+                Ar, br, lor, hir = _stack_red()
                 solr, lam = qp_pgs(
-                    Mrtilde, frtilde + h * (J.T @ fbm), CmJ, rhsC,
-                    lo_c, hi_c, pgs_iters,
+                    Mrtilde, frtilde + h * (J.T @ fbm), Ar, br, lor, hir,
+                    pgs_iters,
                 )
                 vconb = J @ solr
-                a_floor = lam
+                a_floor = lam[:nim] if nim else jnp.zeros(0, dtype)
+                lam_eq = lam[nim:] if nem else jnp.zeros(0, dtype)
             else:
                 vuncb = Mmt_inv @ rhsM
                 vconb = J @ r_solve(frtilde + h * (J.T @ fbm))
                 a_floor = jnp.zeros(0, dtype)
+                lam_eq = jnp.zeros(0, dtype)
             fam = Mmtilde @ (vconb - vuncb) / h
-            return fam, a_floor
+            return fam, a_floor, lam_eq
 
-        def friction_pass(fam, a_floor):
+        def friction_pass(fam, a_floor, lam_eq):
             fc = scatter_contact_force(fm_model, topo, kin, fam)
-            a_ring = contact_multipliers(
-                fm_model, topo, params, kin, fc, h, sp_reg
+            a_rings = contact_multipliers(fm_model, topo, params, kin, fc, h, sp_reg)
+            a_loops = (
+                loop_multipliers(fm_model, topo, params, kin, Gm, lam_eq, h, sp_reg)
+                if fm_model.loop_rings
+                else []
             )
-            bl, bu = friction_bounds(
-                fm_model, a_ring, a_floor, mu_int, mu_ext, dtype
+            bl, bu = friction_bounds_full(
+                fm_model, a_rings, a_loops, a_floor, mu_int, mu_ext, dtype
             )
             Hf = T @ (Mmt_inv @ T.T)
             Hf = 0.5 * (Hf + Hf.T)
             ff = T @ (Mmt_inv @ (fmtilde + h * fam))
-            # Boxed QP: min 1/2 b^T Hf b - ff^T b, bl <= b <= bu. Dual PGS
-            # with A = I reduces to PGS on Hf itself with box projection.
             m = Hf.shape[0]
             diag = jnp.diagonal(Hf)
             safe = jnp.where(jnp.abs(diag) < 1e-12, 1.0, diag)
 
-            def row(b, i):
-                resid = ff[i] - Hf[i] @ b + diag[i] * b[i]
-                return b.at[i].set(jnp.clip(resid / safe[i], bl[i], bu[i])), None
+            def row(b_, i):
+                resid = ff[i] - Hf[i] @ b_ + diag[i] * b_[i]
+                return b_.at[i].set(jnp.clip(resid / safe[i], bl[i], bu[i])), None
 
-            def sweep(b, _):
-                b, _ = jax.lax.scan(row, b, jnp.arange(m))
-                return b, None
+            def sweep(b_, _):
+                b_, _ = jax.lax.scan(row, b_, jnp.arange(m))
+                return b_, None
 
             b0 = jnp.zeros(m, dtype)
-            b, _ = jax.lax.scan(sweep, b0, None, length=pgs_iters)
-            return -(T.T @ b) / h
+            b_, _ = jax.lax.scan(sweep, b0, None, length=pgs_iters)
+            return -(T.T @ b_) / h
 
         def sp_cond(carry):
-            it, done, fbm, fam, a_floor, fam0 = carry
+            it, done, fbm, fam, a_floor, lam_eq, fam0 = carry
             return (~done) & (it < sp_iter_max)
 
         def sp_body(carry):
-            it, done, fbm, fam_prev, a_floor_prev, fam0 = carry
-            fam, a_floor = contact_pass(fbm)
+            it, done, fbm, fam_prev, afl_prev, lam_prev, fam0 = carry
+            fam, a_floor, lam_eq = contact_pass(fbm)
             dfam = fam - fam0
             num = dfam @ (Mmt_inv @ dfam)
             den = fam @ (Mmt_inv @ fam)
             conv = num / jnp.where(den == 0, 1.0, den) < sp_conv
-            fbm_new = jnp.where(conv, fbm, friction_pass(fam, a_floor))
-            return (it + 1, conv, fbm_new, fam, a_floor, fam)
+            fbm_new = jnp.where(
+                conv, fbm, friction_pass(fam, a_floor, lam_eq)
+            )
+            return (it + 1, conv, fbm_new, fam, a_floor, lam_eq, fam)
 
         fbm0 = fbm_prev if fbm_prev is not None else jnp.zeros(nm, dtype)
         init = (
             jnp.zeros((), jnp.int32), jnp.asarray(False), fbm0,
             jnp.zeros(nm, dtype), jnp.zeros(nim if nim else 0, dtype),
-            jnp.zeros(nm, dtype),
+            jnp.zeros(nem if nem else 0, dtype), jnp.zeros(nm, dtype),
         )
-        it, done, fbm, fam, a_floor, _ = jax.lax.while_loop(
+        it, done, fbm, fam, a_floor, lam_eq, _ = jax.lax.while_loop(
             sp_cond, sp_body, init
         )
 
         rhs_final = frtilde + h * (J.T @ (fam + fbm))
-        if nim:
-            qdot1, _ = qp_pgs(Mrtilde, rhs_final, CmJ, rhsC, lo_c, hi_c, pgs_iters)
+        if nim or nem:
+            Ar, br, lor, hir = _stack_red()
+            qdot1, _ = qp_pgs(Mrtilde, rhs_final, Ar, br, lor, hir, pgs_iters)
         else:
             qdot1 = r_solve(rhs_final)
         q1 = q0 + h * qdot1

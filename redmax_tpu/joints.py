@@ -146,6 +146,14 @@ def _Q_free3d(q, params):
     return se3.make_E(R, q[0:3])
 
 
+def _Q_free_st(q, params):
+    # JointFree (matlab/+redmax/JointFree.m:33-46, gear GJointFreeST port):
+    # Q = Q_spherical(q[0:3]) * Q_translational(q[3:6]) = SE3(R, R p) —
+    # the translation acts in the ROTATED frame (unlike FREE3D).
+    R = se3.exp_so3(q[0:3])
+    return se3.make_E(R, R @ q[3:6])
+
+
 def _Q_composite_rp(q, params):
     # JointComposite (matlab/+redmax/JointComposite.m:38-72): Q = Q1 Q2 with
     # S = [Ad(Q2^{-1}) S1, S2] — here joint1 = revolute(axis1), joint2 =
@@ -280,6 +288,9 @@ KERNELS: Dict[JointType, JointKernel] = {
     JointType.SPLINE_CURVE: JointKernel(_Q_spline_curve),
     JointType.SPLINE_SURFACE: JointKernel(_Q_spline_surface),
     JointType.COMPOSITE_RP: JointKernel(_Q_composite_rp),
+    JointType.FREE_ST: JointKernel(
+        _Q_free_st, reparam_fn=_make_exp_reparam(slice(0, 3))
+    ),
 }
 
 

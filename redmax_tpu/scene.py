@@ -453,14 +453,21 @@ class SceneBuilder:
     def _con_key(self) -> str:
         return f"c{len(self.constraints)}"
 
-    def constraint_loop(self, bodyA, bodyB, xA, xB) -> None:
+    def constraint_loop(self, bodyA, bodyB, xA, xB, radius=1.0, height=1.0) -> None:
         """Loop closure; body A's joint must be revolute (axis defines basis).
         Reference: ConstraintLoop (matlab/+redmax/ConstraintLoop.m)."""
         key = self._con_key()
         axisA = self.joints[bodyA].params["axis"]
+        obj = con_mod.ConstraintLoop(key, bodyA, bodyB)
+        obj.static_params = {
+            "xA": np.asarray(xA, dtype=np.float64),
+            "axisA": np.asarray(axisA, dtype=np.float64),
+            "radius": radius,
+            "height": height,
+        }
         self.constraints.append(
             (
-                con_mod.ConstraintLoop(key, bodyA, bodyB),
+                obj,
                 {
                     "xA": np.asarray(xA, dtype=np.float64),
                     "xB": np.asarray(xB, dtype=np.float64),
@@ -512,6 +519,21 @@ class SceneBuilder:
             (
                 con_mod.ConstraintPrescJoint(key, range(start, start + d)),
                 {"qdot_target": np.atleast_1d(np.asarray(qdot_target, np.float64))},
+            )
+        )
+
+    def constraint_presc_joint_m(self, joint: int) -> None:
+        """Prescribe a revolute joint via maximal rows (velocity targets
+        set through scene_fn)."""
+        key = self._con_key()
+        axis = np.asarray(self.joints[joint].params["axis"])
+        axis_idx = int(np.argmax(np.abs(axis)))
+        self.constraints.append(
+            (
+                con_mod.ConstraintPrescJointM(
+                    key, joint, self.joints[joint].parent, axis_idx
+                ),
+                {"qdot_target": np.float64(0.0)},
             )
         )
 

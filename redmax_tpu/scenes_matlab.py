@@ -744,6 +744,116 @@ def mscene_35() -> SceneBuilder:
     return b
 
 
+def _fourbar(b, root_free=False, ring_geom=False):
+    """Shared 4-bar geometry of scenes 30/32/33 (testRedMaxScenes.m:877-1018)."""
+    from redmax_tpu.scenes import _rot
+
+    a_, b_, c_ = 6.0, 12.0, 14.0
+    s_ = 0.5 * (a_ + b_ + c_)
+    z = 2 * math.sqrt(s_ * (s_ - a_) * (s_ - b_) * (s_ - c_)) / a_
+    x = math.sqrt(14 * 14 - z * z)
+    th = math.atan2(z, x)
+    b0 = b.body_cuboid(1.0, (10, 0.5, 0.5))
+    if root_free:
+        b.joint(JointType.FREE_ST, None, b0, E_pj=transl([0, 0, 1]))
+    else:
+        b.joint(JointType.REVOLUTE, None, b0, E_pj=transl([0, 0, 10]),
+                axis=(0, 1, 0), q=[math.pi])
+    b1 = b.body_cuboid(1.0, (4, 0.5, 0.5), E_ji=transl([2, 0, 0]))
+    b.joint(JointType.REVOLUTE, 0, b1, E_pj=transl([-5, 0, 0]), axis=(0, 1, 0))
+    E2 = _rot([0, 1, 0], -th); E2[:3, 3] = [0.5 * x, 0, 0.5 * z]
+    b2 = b.body_cuboid(1.0, (14, 0.5, 0.5), E_ji=E2)
+    b.joint(JointType.REVOLUTE, 1, b2, E_pj=transl([4, 0, 0]), axis=(0, 1, 0))
+    x2 = x - 6.0
+    th2 = math.atan2(z, x2)
+    E3 = _rot([0, 1, 0], -th2); E3[:3, 3] = [-0.5 * x2, 0, -0.5 * z]
+    b3 = b.body_cuboid(1.0, (12, 0.5, 0.5), E_ji=E3)
+    b.joint(JointType.REVOLUTE, 2, b3, E_pj=transl([x, 0, z]), axis=(0, 1, 0))
+    if ring_geom:
+        for j in (1, 2, 3):
+            b.joints[j].contact_radius = 0.5
+            b.joints[j].contact_height = 0.5
+        b.constraint_loop(3, 0, [-6, 0, 0], [5, 0, 0], radius=0.5, height=0.5)
+    else:
+        b.constraint_loop(3, 0, [-6, 0, 0], [5, 0, 0])
+
+
+def mscene_30() -> SceneBuilder:
+    """case 30 'Internal friction 4-bar linkage': loop + joint rings, mu=0.3."""
+    b = SceneBuilder(name="Internal friction 4-bar linkage", h=5e-3, tEnd=1.0)
+    b.fric = True
+    b.mu = np.array([0.3, 0.6])
+    b.baumgarte = np.array([5.0, 5.0, 1.0 / 5e-3])
+    b.Hexpected = {"euler_fric": -14581.1508526040543074}
+    _fourbar(b, ring_geom=True)
+    return b
+
+
+def mscene_33() -> SceneBuilder:
+    """case 33 'External friction 4-bar linkage': a driven 4-bar WALKER —
+    free-floating linkage on floor-contact spheres with a maximal
+    prescribed driver (testRedMaxScenes.m:1019-1093)."""
+    from redmax_tpu.scenes import _rot
+
+    b = SceneBuilder(name="External friction 4-bar linkage", h=5e-3, tEnd=1.0)
+    b.fric = True
+    b.mu = np.array([0.8, 0.8])
+    b.baumgarte = np.array([5.0, 5.0, 0.1 / 5e-3])
+    b.Hexpected = {"euler_fric": 19598.8605086512579874}
+    _fourbar(b, root_free=True, ring_geom=True)
+    # front + back spheres on the root body
+    s1 = b.body_sphere(1.0, 1.0, E_ji=transl([-5, 0, 0]))
+    b.joint(JointType.FIXED, 0, s1)
+    b.constraint_floor(s1)
+    s2 = b.body_sphere(1.0, 1.0, E_ji=transl([5, 0, 0]))
+    b.joint(JointType.FIXED, 0, s2)
+    b.constraint_floor(s2)
+    # middle cylinder on joint 3 (body index 2) + two side spheres
+    cyl = b.body_cylinder(1.0, 0.5, 5.0, E_ji=_rot([1, 0, 0], math.pi / 2))
+    b.joint(JointType.FIXED, 2, cyl)
+    s3 = b.body_sphere(1.0, 1.0, E_ji=transl([0, 2.5, 0]))
+    b.joint(JointType.FIXED, cyl, s3)
+    b.constraint_floor(s3)
+    s4 = b.body_sphere(1.0, 1.0, E_ji=transl([0, -2.5, 0]))
+    b.joint(JointType.FIXED, cyl, s4)
+    b.constraint_floor(s4)
+    b.constraint_presc_joint_m(1)
+    return b
+
+
+def scene_fn_33(params, t):
+    """sceneFcn33: drive speed +4*pi."""
+    import jax.numpy as jnp
+
+    speed = 2.0 * (2.0 * jnp.pi)
+    cons = dict(params["constraints"])
+    key = next(k for k, v in cons.items() if set(v) == {"qdot_target"})
+    cons[key] = {"qdot_target": jnp.asarray(speed, params["h"].dtype)}
+    return {**params, "constraints": cons}
+
+
+def mscene_32() -> SceneBuilder:
+    """case 32 'Prescribed joint via maximal constraint': driven 4-bar."""
+    b = SceneBuilder(name="Prescribed joint via maximal constraint",
+                     h=5e-3, tEnd=1.0)
+    b.baumgarte = np.array([5.0, 5.0, 0.1 / 5e-3])
+    b.Hexpected = {"euler": 4641.9162041538456833}
+    _fourbar(b)
+    b.constraint_presc_joint_m(1)
+    return b
+
+
+def scene_fn_32(params, t):
+    """sceneFcn32: constant drive speed -4*pi on the maximal-prescribed joint."""
+    import jax.numpy as jnp
+
+    speed = -2.0 * (2.0 * jnp.pi)
+    cons = dict(params["constraints"])
+    key = next(k for k, v in cons.items() if set(v) == {"qdot_target"})
+    cons[key] = {"qdot_target": jnp.asarray(speed, params["h"].dtype)}
+    return {**params, "constraints": cons}
+
+
 M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     -1: mscene_m1,
     2: mscene_02,
@@ -777,6 +887,9 @@ M_SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     28: mscene_28,
     29: mscene_29,
     31: mscene_31,
+    30: mscene_30,
+    32: mscene_32,
+    33: mscene_33,
     34: mscene_34,
     35: mscene_35,
 }

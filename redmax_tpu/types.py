@@ -45,6 +45,7 @@ class JointType(enum.IntEnum):
     FREE3D_EULER = 11  # matlab-diff/+redmax/JointFree3D.m (trans + Euler spherical)
     SPLINE_SURFACE = 12  # matlab/+redmax/JointSplineSurface.m (tensor-product)
     COMPOSITE_RP = 13  # matlab/+redmax/JointComposite.m (revolute o prismatic)
+    FREE_ST = 14       # matlab/+redmax/JointFree.m (spherical-exp o translational)
 
 
 NDOF: Dict[JointType, int] = {
@@ -62,6 +63,7 @@ NDOF: Dict[JointType, int] = {
     JointType.FREE3D_EULER: 6,
     JointType.SPLINE_SURFACE: 2,
     JointType.COMPOSITE_RP: 2,
+    JointType.FREE_ST: 6,
 }
 
 # Joint types carrying a dynamic Euler chart index in State.aux["euler_chart"],

@@ -20,3 +20,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: scene x integrator programs are expensive to
+# compile on CPU; cache across runs (and across xdist workers).
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
