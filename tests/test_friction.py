@@ -49,6 +49,30 @@ def test_internal_friction_dissipates():
     assert abs(H - expected) / abs(expected) < 0.07
 
 
+def test_walker_scene33():
+    """4-bar walker (SP equality + loop rings + floor friction + maximal
+    prescribed driver) within ~1.1% of the certificate (stick-slip band)."""
+    from redmax_tpu.scenes_matlab import scene_fn_33
+
+    sc = build_mscene(33)
+    T0, V0 = sc.energies(sc.state0.q, sc.state0.qdot)
+    step = sc.make_step("euler_fric")
+    sim = jax.jit(integrators.make_simulate(step, sc.nsteps, scene_fn=scene_fn_33))
+    final = sim(sc.params, sc.state0)
+    T, V = sc.energies(final.q, final.qdot, final.aux)
+    H = float(T) + float(V) - float(V0)
+    expected = sc.Hexpected["euler_fric"]
+    assert abs(H - expected) / abs(expected) < 0.03
+
+
+def test_fourbar_internal_friction_scene30():
+    """Internal-friction 4-bar: same physics scale (see scene-27 caveat)."""
+    sc = build_mscene(30)
+    H, _ = run_H(sc, sc.make_step("euler_fric"))
+    expected = sc.Hexpected["euler_fric"]
+    assert abs(H - expected) / abs(expected) < 0.15
+
+
 def test_internal_friction_sticking_limit():
     """mu -> large: the chain must not move (static friction holds it)."""
     sc = build_mscene(27)
