@@ -1,0 +1,95 @@
+"""Batch benchmark harness — the Scene::batchTest equivalent
+(c++/PCG/src/Scene.cpp:121-415): per scene size, measure total wall time,
+per-step solve time, solver iteration counts, and record final-qdot and
+leaf-body-position certificates to a JSON report.
+
+Usage: python benchmarks/batch_test.py [--sizes 5 10 20 40] [--out report.json]
+
+Runs chains of increasing size through the three solver tiers (dense
+linearly-implicit Euler, matrix-free PCG, BDF2 structured-chord Newton)
+on the default JAX backend.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_scene(nlinks: int, nsteps: int = 100):
+    from redmax_tpu import integrators, model, pcg
+    from redmax_tpu.scenes import scene_chain
+
+    sc = scene_chain(nlinks=nlinks, damping=0.0).compile(dtype=jnp.float64)
+    out = {"nlinks": nlinks, "nsteps": nsteps}
+
+    # --- dense linearly-implicit euler ---
+    step = integrators.make_euler_step(sc.topo, sc.force_fns)
+    sim = jax.jit(integrators.make_simulate(step, nsteps))
+    t0 = time.perf_counter()
+    final = sim(sc.params, sc.state0)
+    jax.block_until_ready(final.q)
+    out["euler_compile_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    final = sim(sc.params, sc.state0)
+    jax.block_until_ready(final.q)
+    dt = time.perf_counter() - t0
+    out["euler_total_s"] = round(dt, 4)
+    out["euler_step_ms"] = round(dt / nsteps * 1e3, 4)
+    out["qdot_certificate"] = np.asarray(final.qdot).tolist()
+
+    # leaf body world position (leaf_pos_certificates, Scene.cpp:200-240)
+    kin = model.forward_kinematics(sc.topo, sc.params, final.q, final.qdot)
+    out["leaf_pos_certificate"] = np.asarray(kin.E_wi[-1, :3, 3]).tolist()
+
+    # --- matrix-free PCG velocity solve (one step, iteration counter) ---
+    solve = pcg.make_euler_pcg_solver(sc.topo, sc.force_fns)
+    _, res = solve(sc.params, sc.state0.q, sc.state0.qdot)
+    out["pcg_iters"] = int(res.iters)
+    out["pcg_resnorm"] = float(res.resnorm)
+
+    # --- BDF2 structured chord ---
+    cfg = integrators.NewtonConfig(fixed_iters=4, chord=True, hessian="structured")
+    step2 = integrators.make_bdf2_step(sc.topo, sc.force_fns, cfg)
+    sim2 = jax.jit(integrators.make_simulate(step2, nsteps))
+    s0 = sc.initial_state("bdf2")
+    final2 = sim2(sc.params, s0)
+    jax.block_until_ready(final2.q)
+    t0 = time.perf_counter()
+    final2 = sim2(sc.params, s0)
+    jax.block_until_ready(final2.q)
+    dt = time.perf_counter() - t0
+    out["bdf2_total_s"] = round(dt, 4)
+    out["bdf2_step_ms"] = round(dt / nsteps * 1e3, 4)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=[5, 10, 20, 40])
+    ap.add_argument("--nsteps", type=int, default=100)
+    ap.add_argument("--out", default="benchmarks/batch_report.json")
+    args = ap.parse_args()
+    report = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "scenes": [bench_scene(n, args.nsteps) for n in args.sizes],
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    for s in report["scenes"]:
+        print(
+            f"nlinks={s['nlinks']:3d}: euler {s['euler_step_ms']:.3f} ms/step, "
+            f"bdf2 {s['bdf2_step_ms']:.3f} ms/step, pcg iters {s['pcg_iters']}"
+        )
+    print(f"report -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

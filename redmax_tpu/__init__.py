@@ -24,7 +24,7 @@ from redmax_tpu import se3
 from redmax_tpu.scene import CompiledScene, SceneBuilder
 from redmax_tpu.types import JointType, SceneParams, State
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "se3",
@@ -33,4 +33,8 @@ __all__ = [
     "SceneParams",
     "State",
     "JointType",
+    # submodules (imported lazily by users):
+    # model, integrators, explicit, adjoint, dynamics, recursive, pcg,
+    # constraints, qp, friction, forces, joints, euler, mesh, mpc, parallel,
+    # scenes, scenes_matlab, sceneio, export, checkpoint, metrics
 ]

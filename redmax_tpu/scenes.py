@@ -381,6 +381,79 @@ def scene_chain(
     return b
 
 
+def scene_tree(depth: int = 4, branch: int = 2, link_len: float = 1.0,
+               density: float = 1.0, h: float = 1e-2, tEnd: float = 0.5) -> SceneBuilder:
+    """Procedural branching tree (RigidBodyCreator::loadSimpleTree/loadTree,
+    c++/PCG/src/RigidBodyCreator.cpp): `branch` children per joint down to
+    `depth` levels, alternating y/z hinge axes."""
+    b = SceneBuilder(name=f"tree-d{depth}b{branch}", h=h, tEnd=tEnd)
+    sides = (link_len, 0.1 * link_len, 0.1 * link_len)
+
+    def add(parent, level, offset):
+        body = b.body_cuboid(density, sides, E_ji=transl([link_len / 2, 0, 0]))
+        axis = (0, 1, 0) if level % 2 == 0 else (0, 0, 1)
+        E_pj = np.eye(4) if parent is None else transl([link_len, offset, 0])
+        j = b.joint(JointType.REVOLUTE, parent, body, E_pj=E_pj, axis=axis)
+        b.set_damping(j, 1.0)
+        if level + 1 < depth:
+            for k in range(branch):
+                off = 0.05 * link_len * (k - (branch - 1) / 2)
+                add(j, level + 1, off)
+
+    add(None, 0, 0.0)
+    return b
+
+
+def scene_bridge(nplanks: int = 8, density: float = 1.0, h: float = 1e-2,
+                 tEnd: float = 0.5) -> SceneBuilder:
+    """Procedural plank bridge closed by a loop constraint
+    (RigidBodyCreator::loadSimpleBridge/loadBridge): a revolute chain of
+    planks between two anchors, the far end loop-closed to a fixed block."""
+    b = SceneBuilder(name=f"bridge-{nplanks}", h=h, tEnd=tEnd)
+    plank = (1.0, 0.4, 0.1)
+    b0 = b.body_cuboid(density, (0.2, 0.4, 0.2))
+    b.joint(JointType.FIXED, None, b0)
+    prev = 0
+    for i in range(nplanks):
+        body = b.body_cuboid(density, plank, E_ji=transl([0.5, 0, 0]))
+        j = b.joint(JointType.REVOLUTE, prev, body,
+                    E_pj=transl([0.2 if i == 0 else 1.0, 0, 0]), axis=(0, 1, 0))
+        b.set_damping(j, 0.5)
+        prev = j
+    anchor = b.body_cuboid(density, (0.2, 0.4, 0.2))
+    b.joint(JointType.FIXED, 0, anchor,
+            E_pj=transl([0.2 + nplanks * 1.0, 0, 0]))
+    b.constraint_loop(prev, anchor, [1.0, 0, 0], [0.0, 0, 0])
+    return b
+
+
+def scene_umbrella(nribs: int = 6, density: float = 1.0, h: float = 1e-2,
+                   tEnd: float = 0.5) -> SceneBuilder:
+    """Procedural umbrella (RigidBodyCreator::loadUmbrella): a prismatic
+    slider on a central pole driving `nribs` hinged ribs via stiff springs."""
+    b = SceneBuilder(name=f"umbrella-{nribs}", h=h, tEnd=tEnd)
+    pole = b.body_cuboid(density, (0.1, 0.1, 2.0))
+    b.joint(JointType.FIXED, None, pole)
+    slider = b.body_cuboid(density, (0.2, 0.2, 0.2))
+    js = b.joint(JointType.PRISMATIC, 0, slider, E_pj=transl([0, 0, 0.5]),
+                 axis=(0, 0, 1))
+    b.set_stiffness(js, 50.0)
+    b.set_damping(js, 5.0)
+    for k in range(nribs):
+        th = 2 * math.pi * k / nribs
+        R = np.eye(4)
+        c, s_ = math.cos(th), math.sin(th)
+        R[:3, :3] = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1]])
+        R[:3, 3] = [0, 0, 1.0]
+        rib = b.body_cuboid(density, (1.0, 0.05, 0.05), E_ji=transl([0.5, 0, 0]))
+        j = b.joint(JointType.REVOLUTE, 0, rib, E_pj=R, axis=(0, 1, 0),
+                    q=[-math.pi / 4])
+        b.set_damping(j, 0.2)
+        b.force_spring_damper(1, rib, [0.1 * c, 0.1 * s_, 0], [0.3, 0, 0],
+                              k=200.0, d=2.0)
+    return b
+
+
 SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     0: scene_00_serial_chain,
     1: scene_01_revolute_axes,
