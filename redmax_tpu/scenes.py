@@ -414,16 +414,33 @@ def scene_bridge(nplanks: int = 8, density: float = 1.0, h: float = 1e-2,
     b0 = b.body_cuboid(density, (0.2, 0.4, 0.2))
     b.joint(JointType.FIXED, None, b0)
     prev = 0
+    # Sagging arc (a taut horizontal bridge is a singular four-bar).
+    sag = 0.3
+    x, z, th = 0.2, 0.0, 0.0
     for i in range(nplanks):
+        dq = -sag if i < nplanks // 2 else (
+            sag * (2.0 if i == nplanks // 2 else 1.0)
+        )
         body = b.body_cuboid(density, plank, E_ji=transl([0.5, 0, 0]))
         j = b.joint(JointType.REVOLUTE, prev, body,
-                    E_pj=transl([0.2 if i == 0 else 1.0, 0, 0]), axis=(0, 1, 0))
+                    E_pj=transl([0.2 if i == 0 else 1.0, 0, 0]),
+                    axis=(0, 1, 0), q=[dq])
         b.set_damping(j, 0.5)
+        th += dq
+        x += math.cos(th)
+        z += math.sin(th)  # y-axis hinge: +q rotates x toward -z... track both
         prev = j
+    # Anchor exactly at the chain tip (computed via the same FK the
+    # compiler uses, so the loop starts satisfied).
+    import jax.numpy as _j
+    from redmax_tpu import model as _m
+    tmp = b.compile()
+    kin0 = _m.forward_kinematics(tmp.topo, tmp.params, tmp.state0.q,
+                                 tmp.state0.qdot)
+    tip = np.asarray(kin0.E_wi[prev] @ _j.asarray([0.5, 0, 0, 1.0]))[:3]
     anchor = b.body_cuboid(density, (0.2, 0.4, 0.2))
-    b.joint(JointType.FIXED, 0, anchor,
-            E_pj=transl([0.2 + nplanks * 1.0, 0, 0]))
-    b.constraint_loop(prev, anchor, [1.0, 0, 0], [0.0, 0, 0])
+    b.joint(JointType.FIXED, 0, anchor, E_pj=transl(tip))
+    b.constraint_loop(prev, anchor, [0.5, 0, 0], [0.0, 0, 0])
     return b
 
 
