@@ -45,11 +45,11 @@ def load_scene_text(path: str, h: float = 1e-2, tEnd: float = 1.0) -> SceneBuild
         if not cur:
             return
         if stanza == "link":
-            dens = float(cur.get("dens", 1.0))
+            dens = float(cur.get("dens", ["1.0"])[0])
             size = np.array([float(x) for x in cur["size"]])
             cpos = np.array([float(x) for x in cur.get("cpos", [0, 0, 0])])
             ppos = np.array([float(x) for x in cur.get("ppos", [0, 0, 0])])
-            angl = float(cur.get("angl", [0])[0]) * math.pi
+            angl = float(cur.get("angl", ["0"])[0]) * math.pi
             jt_tok = cur.get("type", ["ball"])
             jt = _TYPE_MAP.get(jt_tok[0], JointType.SPHERICAL)
             axis = (
