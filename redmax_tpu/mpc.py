@@ -138,3 +138,31 @@ def make_mpc_solver(
         return MpcResult(p=p, objective=vals[-1], grad_norm=gnorms[-1])
 
     return solve
+
+
+def make_mppi_solver(
+    rollout_cost: Callable,
+    n_samples: int = 256,
+    sigma: float = 0.3,
+    temperature: float = 1.0,
+):
+    """Sampling-based MPC (MPPI): perturb the parameter vector with
+    Gaussian noise, roll out all samples (one vmap — the batch axis the
+    TPU wants), and softmax-average by cost.
+
+    rollout_cost(params, p, state0, x_target) -> scalar cost.
+    Returns solve(key, params, p0, state0, x_target) -> (p, mean_cost).
+    The candidate batch dimension composes with an outer vmap over tasks
+    and shard_map over the ("rollout", "model") mesh (parallel.py), which
+    is where the thousands-of-rollouts scale of BASELINE.json lives.
+    """
+
+    def solve(key, params: Dict, p0, state0: State, x_target):
+        eps = sigma * jax.random.normal(key, (n_samples,) + p0.shape, p0.dtype)
+        cand = p0[None] + eps
+        costs = jax.vmap(lambda p: rollout_cost(params, p, state0, x_target))(cand)
+        w = jax.nn.softmax(-costs / temperature)
+        p_new = jnp.einsum("s,s...->...", w, cand)
+        return p_new, jnp.sum(w * costs)
+
+    return solve

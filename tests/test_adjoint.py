@@ -62,3 +62,13 @@ def test_mpc_solver_reduces_objective():
     res = jax.jit(solve)(sc.params, p, sc.state0, target)
     obj0 = obj(sc.params, p, sc.state0, target)
     assert float(res.objective) < float(obj0)
+
+
+def test_mppi_solver_reduces_objective():
+    """Sampling MPC (MPPI): softmax-averaged candidates reduce the cost."""
+    sc, obj, p, target = _setup("bdf2", nsteps=5)
+    solve = mpc.make_mppi_solver(obj, n_samples=32, sigma=0.3)
+    key = jax.random.PRNGKey(0)
+    p1, c1 = jax.jit(solve)(key, sc.params, p, sc.state0, target)
+    c0 = obj(sc.params, p, sc.state0, target)
+    assert float(c1) <= float(c0) + 1e-9
