@@ -31,7 +31,7 @@ def measure(n_devices: int, per_device_batch: int, nlinks=4, nsteps=5, iters=1):
 
     mesh = parallel.make_mesh(n_devices, model=1)
     sc = scene_chain(nlinks=nlinks).compile(dtype=jnp.float32)
-    cfg = integrators.NewtonConfig(fixed_iters=2, chord=True, hessian="structured")
+    cfg = integrators.NewtonConfig(fixed_iters=2, chord=True, hessian="structured", linsolve="gj")
     task = mpc.PointPosTask(body=nlinks - 1, pscale=1e3)
     obj = mpc.make_objective(
         sc.topo, sc.force_fns, task, jnp.array([0.5, 0, 0], jnp.float32),

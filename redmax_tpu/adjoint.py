@@ -33,9 +33,14 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def implicit_solve(
-    res_fn: Callable, newton_fn: Callable, hess_fn: Optional[Callable], theta: Any, x0
+    res_fn: Callable,
+    newton_fn: Callable,
+    hess_fn: Optional[Callable],
+    solve_T_fn: Optional[Callable],
+    theta: Any,
+    x0,
 ):
     """Solve res_fn(theta, x) = 0 by Newton, with implicit-function VJP.
 
@@ -43,6 +48,8 @@ def implicit_solve(
     newton_fn: (fn: x -> g, jac_or_None, x0) -> x* — the inner solver.
     hess_fn: optional (theta, x) -> H approximation used for the backward
         transposed solve; None -> exact jacfwd of res_fn.
+    solve_T_fn: optional (H, xbar) -> H^-T xbar backward solve kernel
+        (linalg.py GJ path on TPU); None -> jnp.linalg.solve(H.T, .).
     theta: all differentiable inputs of the residual (params, q0, qdot0, ...).
     x0: initial guess (no gradient — the solution is independent of it).
     """
@@ -50,13 +57,13 @@ def implicit_solve(
     return newton_fn(lambda x: res_fn(theta, x), jac, x0)
 
 
-def _fwd(res_fn, newton_fn, hess_fn, theta, x0):
+def _fwd(res_fn, newton_fn, hess_fn, solve_T_fn, theta, x0):
     jac = (lambda x: hess_fn(theta, x)) if hess_fn is not None else None
     xstar = newton_fn(lambda x: res_fn(theta, x), jac, x0)
     return xstar, (theta, xstar)
 
 
-def _bwd(res_fn, newton_fn, hess_fn, saved, xbar):
+def _bwd(res_fn, newton_fn, hess_fn, solve_T_fn, saved, xbar):
     theta, xstar = saved
     # H = dg/dx at the solution; one transposed solve per step, the
     # reference's LU-transpose reuse (TaskBDF1.m:66: z = U'\\(L'\\y)).
@@ -64,7 +71,7 @@ def _bwd(res_fn, newton_fn, hess_fn, saved, xbar):
         H = jax.jacfwd(lambda x: res_fn(theta, x))(xstar)
     else:
         H = hess_fn(theta, xstar)
-    z = jnp.linalg.solve(H.T, xbar)
+    z = solve_T_fn(H, xbar) if solve_T_fn is not None else jnp.linalg.solve(H.T, xbar)
     # thetabar = -(dg/dtheta)^T z via one VJP of the residual in theta.
     _, vjp_theta = jax.vjp(lambda th: res_fn(th, xstar), theta)
     (thetabar,) = vjp_theta(-z)
