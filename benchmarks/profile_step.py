@@ -4,7 +4,11 @@ assembly vs factor vs solve, batch-size scaling.
 Run on the real TPU: python benchmarks/profile_step.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -72,6 +72,13 @@ class NewtonConfig:
     # faster on TPU for batched nr<=32 systems; see linalg.py). Applies to
     # the Newton solve AND the adjoint transposed backward solve.
     linsolve: str = "lu"
+    # BDF2 inner-step initial guess. "linear" = q1 + h qdot1 (the reference's,
+    # driverRedMaxBDF2.m:103 — it iterates to tol 1e-9 so the guess is moot).
+    # "quadratic" adds the constant-acceleration term 0.5 h (qdot1 - qdot0):
+    # under fixed-iteration chord Newton the per-step error scales with the
+    # predictor error times the contraction factor^iters, so the better
+    # predictor buys ~1 chord iteration for free.
+    predictor: str = "linear"
 
 
 class _NewtonCarry(NamedTuple):
@@ -394,7 +401,10 @@ def make_bdf2_step(
         q0, qdot0 = s.q_prev, s.qdot_prev
         q1, qdot1, aux = s.q, s.qdot, s.aux
         h = params["h"]
-        q2 = _solve(_res_2, hess_2, (params, q0, qdot0, q1, qdot1, aux), q1 + h * qdot1)
+        guess = q1 + h * qdot1
+        if cfg.predictor == "quadratic":
+            guess = guess + 0.5 * h * (qdot1 - qdot0)
+        q2 = _solve(_res_2, hess_2, (params, q0, qdot0, q1, qdot1, aux), guess)
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
         return Bdf2State(
             q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1, aux=aux
