@@ -110,6 +110,9 @@ class SceneBuilder:
         self.fric = False                           # Scene.m:43 (fric flag)
         self.mu = np.array([0.6, 0.6])              # Scene.m:44 (int, ext)
         self.Hexpected: Dict[str, float] = {}
+        # #spline editing paths from the c++ text format (sceneio.py);
+        # metadata only — consumers build prescribed trajectories from them.
+        self.spline_paths: List[Dict[str, Any]] = []
 
     # -- bodies ------------------------------------------------------------
     def body_cuboid(self, density, sides, E_ji=None, name="") -> int:

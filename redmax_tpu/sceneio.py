@@ -89,6 +89,30 @@ def load_scene_text(path: str, h: float = 1e-2, tEnd: float = 1.0) -> SceneBuild
                 [float(x) for x in cur.get("posa", [0, 0, 0])],
                 [float(x) for x in cur.get("posb", [0, 0, 0])],
             )
+        elif stanza == "springpoint":
+            # syntax.txt #springpoint: point-on-body spring acting along an
+            # axis (the role of c++ Constraint.h:53 SpringPoint /
+            # matlab SpringPointDirection).
+            b.force_point_direction(
+                names[cur["lnka"][0]],
+                [float(x) for x in cur.get("posa", [0, 0, 0])],
+                [float(x) for x in cur.get("axis", [0, 0, 1])],
+                float(cur.get("stif", [0])[0]),
+            )
+        elif stanza == "spline":
+            # syntax.txt #spline: an editing path of critical points attached
+            # to a joint (RigidBodyCreator USER_SPLINE file IO,
+            # RigidBodyCreator.h:92-108). Stored as scene metadata; consumers
+            # turn it into prescribed-joint trajectories or SPLINE_CURVE
+            # control frames.
+            b.spline_paths.append(
+                {
+                    "parent": names.get(cur.get("prnt", [None])[0], -1),
+                    "type": cur.get("type", ["cubic b-spline"])[0],
+                    "ppos": [float(x) for x in cur.get("ppos", [0, 0, 0])],
+                    "points": cur.get("_points", []),
+                }
+            )
         cur = {}
 
     with open(path) as fh:
@@ -101,6 +125,13 @@ def load_scene_text(path: str, h: float = 1e-2, tEnd: float = 1.0) -> SceneBuild
             if not toks or stanza is None:
                 continue
             key = toks[0]
+            try:
+                # Bare coordinate lines (#spline critical points) have no key.
+                vals = [float(t) for t in toks]
+                cur.setdefault("_points", []).append(vals)
+                continue
+            except ValueError:
+                pass
             cur[key] = toks[1:] if len(toks) > 1 else [True]
     flush()
     return b

@@ -55,6 +55,40 @@ damp 1
     assert not bool(jnp.any(jnp.isnan(final.q)))
 
 
+def test_text_format_springpoint_spline(tmp_path):
+    """#springpoint and #spline stanzas (syntax.txt full stanza set)."""
+    txt = tmp_path / "scene.txt"
+    txt.write_text(
+        """#link
+name root
+dens 3
+size 3 0.8 0.5
+cpos -1.4 0 0
+type hinge 0 0 1
+#springpoint
+lnka root
+posa 1 0 0
+axis 0 0 1
+stif 50
+#spline
+prnt root
+type cubic b-spline
+ppos 0 0 1
+1 0 0
+2 0 0
+3 1 0
+"""
+    )
+    b = sceneio.load_scene_text(str(txt))
+    assert len(b.spline_paths) == 1
+    sp = b.spline_paths[0]
+    assert sp["parent"] == 0 and len(sp["points"]) == 3
+    sc = b.compile()
+    assert len(sc.force_fns) == 1  # the point-direction spring
+    final = integrators.make_euler_step(sc.topo, sc.force_fns)(sc.params, sc.state0)
+    assert not bool(jnp.any(jnp.isnan(final.q)))
+
+
 def test_json_roundtrip(tmp_path):
     b = scene_chain(nlinks=3)
     p = tmp_path / "scene.json"
