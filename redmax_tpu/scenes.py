@@ -327,6 +327,35 @@ def scene_14_joint_limits() -> SceneBuilder:
     return b
 
 
+def scene_m2_single_revolute() -> SceneBuilder:
+    """case -2 'Single revolute' (scenesRedMax.m:13-26): one cuboid on a
+    y-axis hinge, qdot(0)=1."""
+    b = SceneBuilder(name="Single revolute")
+    body = b.body_cuboid(1.0, (2, 0.2, 0.2), E_ji=transl([1, 0, 0]))
+    b.joint(JointType.REVOLUTE, None, body, axis=(0, 1, 0), qdot=[1.0])
+    return b
+
+
+def scene_m1_simpler_chain(nbodies: int = 1) -> SceneBuilder:
+    """case -1 'Simpler serial chain' (scenesRedMax.m:27-51): 10x1x1 links,
+    stiffness 1e6, damping 1e4."""
+    b = SceneBuilder(name="Simpler serial chain")
+    for i in range(nbodies):
+        body = b.body_cuboid(1.0, (10, 1, 1), E_ji=transl([5, 0, 0]))
+        j = b.joint(
+            JointType.REVOLUTE,
+            None if i == 0 else i - 1,
+            body,
+            E_pj=np.eye(4) if i == 0 else transl([10, 0, 0]),
+            axis=(0, 1, 0),
+            q=[0.0] if i == 0 else [math.pi / 4],
+            qdot=[1.0],
+        )
+        b.set_stiffness(j, 1e6)
+        b.set_damping(j, 1e4)
+    return b
+
+
 def scene_100_adjoint(nbodies: int = 2) -> SceneBuilder:
     """cases 100/101: two-link chain for the adjoint point-position task."""
     b = SceneBuilder(name="Adjoint")
@@ -488,6 +517,11 @@ SCENES: Dict[int, Callable[[], SceneBuilder]] = {
     13: scene_13_cables,
     14: scene_14_joint_limits,
     100: scene_100_adjoint,
+    # case 101 'Adjoint BDF2' (scenesRedMax.m:437) is the same builder; the
+    # BDF2 task + target [-10,0,-10] are picked at task-construction time.
+    101: scene_100_adjoint,
+    -2: scene_m2_single_revolute,
+    -1: scene_m1_simpler_chain,
 }
 
 

@@ -65,3 +65,12 @@ def test_free3d_exp_energy_sane():
     sc = build_scene(9, exp_coords=True)
     H = run_H(sc, "bdf2")
     assert abs(H - 4.5466508559364156e00) < 5e-1
+
+
+@pytest.mark.parametrize("sid", [-2, -1])
+def test_smoke_scenes(sid):
+    """Scenes -2/-1 (scenesRedMax.m:13-51) have no stored certificate in the
+    reference; gate on finite energy and no NaNs after a full BDF1 run."""
+    sc = build_scene(sid)
+    H = run_H(sc, "bdf1")
+    assert np.isfinite(H)
