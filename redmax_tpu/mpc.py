@@ -113,16 +113,46 @@ def make_mpc_solver(
     objective_fn: Callable,
     iters: int = 1,
     lr: float = 1e-2,
+    method: str = "adam",
 ):
     """Fixed-iteration gradient MPC solve (fminunc role, adjoint gradients).
 
-    (params, p0, state0, x_target) -> MpcResult. Adam with fixed iteration
-    count so the solver jits/vmaps/shards with static control flow.
+    (params, p0, state0, x_target) -> MpcResult, with fixed iteration count
+    so the solver jits/vmaps/shards with static control flow.
+
+    method "adam" is the production path (one cheap update per adjoint
+    gradient). method "lbfgs" is the parity path for the reference's
+    quasi-Newton fminunc coupling (driverRedMaxAdjointBDF1.m:17-23:
+    'quasi-newton' + SpecifyObjectiveGradient) — optax L-BFGS with zoom
+    linesearch, so each iteration may re-evaluate the rollout several times.
     """
     import optax
 
-    opt = optax.adam(lr)
     grad_fn = jax.value_and_grad(objective_fn, argnums=1)
+
+    if method == "lbfgs":
+        opt = optax.lbfgs(memory_size=8)
+
+        def solve(params: Dict, p0, state0: State, x_target) -> MpcResult:
+            value_fn = lambda pp: objective_fn(params, pp, state0, x_target)
+
+            def body(carry, _):
+                p, opt_state = carry
+                val, g = grad_fn(params, p, state0, x_target)
+                updates, opt_state = opt.update(
+                    g, opt_state, p, value=val, grad=g, value_fn=value_fn
+                )
+                p = optax.apply_updates(p, updates)
+                return (p, opt_state), (val, jnp.linalg.norm(g))
+
+            (p, _), (vals, gnorms) = jax.lax.scan(
+                body, (p0, opt.init(p0)), None, length=iters
+            )
+            return MpcResult(p=p, objective=vals[-1], grad_norm=gnorms[-1])
+
+        return solve
+
+    opt = optax.adam(lr)
 
     def solve(params: Dict, p0, state0: State, x_target) -> MpcResult:
         def body(carry, _):

@@ -72,3 +72,13 @@ def test_mppi_solver_reduces_objective():
     p1, c1 = jax.jit(solve)(key, sc.params, p, sc.state0, target)
     c0 = obj(sc.params, p, sc.state0, target)
     assert float(c1) <= float(c0) + 1e-9
+
+
+def test_lbfgs_solver_reduces_objective():
+    """Quasi-Newton path (fminunc parity, driverRedMaxAdjointBDF1.m:17-23)."""
+    sc, obj, p, target = _setup("bdf1", nsteps=8)
+    solve = mpc.make_mpc_solver(obj, iters=4, method="lbfgs")
+    res = jax.jit(solve)(sc.params, p, sc.state0, target)
+    f0 = obj(sc.params, p, sc.state0, target)
+    f1 = obj(sc.params, res.p, sc.state0, target)
+    assert float(f1) < float(f0)
