@@ -68,33 +68,84 @@ class FrameExporter:
         return path
 
 
+_EXPORT_LIB = None
+
+
+def _native_export():
+    """ctypes handle to csrc/_export.so (BrenderManager's hot IO loop in C),
+    or None — callers fall back to the pure-Python writer."""
+    global _EXPORT_LIB
+    if _EXPORT_LIB is not None:
+        return _EXPORT_LIB or None
+    import ctypes
+
+    so = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc", "_export.so")
+    try:
+        lib = ctypes.CDLL(so)
+        lib.write_frames_obj.restype = ctypes.c_int
+        lib.write_frames_obj.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+        ]
+        _EXPORT_LIB = lib
+    except OSError:
+        _EXPORT_LIB = False
+    return _EXPORT_LIB or None
+
+
 def export_objs(scene, traj_q, out_dir: str, sides=None, stride: int = 1) -> int:
     """Write per-frame OBJs of cuboid bodies (BrenderManager OBJ mode).
 
-    traj_q: [T, nr] recorded positions. Returns number of frames written.
+    traj_q: [T, nr] recorded positions. FK runs once, batched over all
+    frames (one vmap); the vertex-formatting/IO loop runs in native C
+    (csrc/export.c) when available. Returns number of frames written.
     """
+    import jax
+    import jax.numpy as jnp
+
     from redmax_tpu import model
 
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
-    for k in range(0, len(traj_q), stride):
-        q = traj_q[k]
-        kin = model.forward_kinematics(
-            scene.topo, scene.params, q, np.zeros_like(q), scene.state0.aux
+    traj_q = jnp.asarray(traj_q)
+    kin = jax.vmap(
+        lambda q: model.forward_kinematics(
+            scene.topo, scene.params, q, jnp.zeros_like(q), scene.state0.aux
         )
-        E = np.asarray(kin.E_wi)
+    )(traj_q)
+    E = np.ascontiguousarray(np.asarray(kin.E_wi, dtype=np.float64))  # [T,nb,4,4]
+    T, nb = E.shape[:2]
+    S = np.ascontiguousarray(
+        np.ones((nb, 3)) if sides is None else np.asarray(sides, dtype=np.float64)
+    )
+
+    lib = _native_export()
+    if lib is not None:
+        import ctypes
+
+        n = lib.write_frames_obj(
+            out_dir.encode(),
+            E.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            S.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            T, nb, stride,
+        )
+        if n >= 0:
+            return n
+
+    n = 0
+    for k in range(0, T, stride):
         with open(os.path.join(out_dir, f"frame_{n:05d}.obj"), "w") as fh:
             voff = 1
-            for b in range(scene.topo.njoints):
-                s = np.ones(3) if sides is None else np.asarray(sides[b])
-                V = _CUBE_VERTS * s
-                Vw = V @ E[b, :3, :3].T + E[b, :3, 3]
+            for b in range(nb):
+                V = _CUBE_VERTS * S[b]
+                Vw = V @ E[k, b, :3, :3].T + E[k, b, :3, 3]
                 for v in Vw:
                     fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
                 for f in _CUBE_FACES:
-                    fh.write(
-                        f"f {f[0]+voff} {f[1]+voff} {f[2]+voff}\n"
-                    )
+                    fh.write(f"f {f[0]+voff} {f[1]+voff} {f[2]+voff}\n")
                 voff += 8
         n += 1
     return n

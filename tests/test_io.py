@@ -115,6 +115,28 @@ def test_frame_export(tmp_path):
     assert os.path.exists(tmp_path / "frame_00000.obj")
 
 
+def test_frame_export_native_matches_python(tmp_path):
+    """The C writer (csrc/export.c) and the Python fallback emit identical
+    OBJ bytes for the same trajectory."""
+    sc = build_scene(0)
+    traj = np.stack([np.asarray(sc.state0.q), np.asarray(sc.state0.q) + 0.1])
+    sides = np.tile([1.0, 2.0, 0.5], (sc.topo.njoints, 1))
+
+    d_native, d_py = tmp_path / "nat", tmp_path / "py"
+    assert export._native_export() is not None
+    n1 = export.export_objs(sc, traj, str(d_native), sides=sides)
+    lib, export._EXPORT_LIB = export._EXPORT_LIB, False  # force fallback
+    try:
+        n2 = export.export_objs(sc, traj, str(d_py), sides=sides)
+    finally:
+        export._EXPORT_LIB = lib
+    assert n1 == n2 == 2
+    for k in range(2):
+        a = (d_native / f"frame_{k:05d}.obj").read_text()
+        b = (d_py / f"frame_{k:05d}.obj").read_text()
+        assert a == b
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from redmax_tpu import checkpoint
 
