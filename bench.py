@@ -1,9 +1,11 @@
 """Benchmark: batched MPC solves/s on the 12-DOF chain (BASELINE.json).
 
 One "MPC solve" = one full horizon-50 BDF2 trajectory optimization step:
-forward rollout (50 implicit BDF2 steps, 4 Newton iterations each) + the
-adjoint backward pass (one transposed Hessian solve per step, TaskBDF1.m:66
-semantics via custom VJP) + one Adam parameter update.
+forward rollout (50 implicit BDF2 steps, quadratic-predictor chord Newton
+with 3 iterations — measured per-step/trajectory accuracy equal or better
+than the 4-iteration linear-predictor config, benchmarks/proto_predictor.py)
++ the adjoint backward pass (one transposed Hessian solve per step,
+TaskBDF1.m:66 semantics via custom VJP) + one Adam parameter update.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the BASELINE.json target of 1000 solves/s.
@@ -25,7 +27,10 @@ def main():
     nlinks, horizon = 12, 50
     dtype = jnp.float32
     sc = scene_chain(nlinks=nlinks).compile(dtype=dtype)
-    cfg = integrators.NewtonConfig(fixed_iters=4, chord=True, hessian="structured", linsolve="gj")
+    cfg = integrators.NewtonConfig(
+        fixed_iters=3, predictor="quadratic", chord=True,
+        hessian="structured", linsolve="gj",
+    )
     task = mpc.PointPosTask(body=nlinks - 1, wp=1.0, wreg=1e-6, pscale=1e3)
     obj = mpc.make_objective(
         sc.topo, sc.force_fns, task,

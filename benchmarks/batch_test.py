@@ -55,7 +55,7 @@ def bench_scene(nlinks: int, nsteps: int = 100):
     out["pcg_resnorm"] = float(res.resnorm)
 
     # --- BDF2 structured chord ---
-    cfg = integrators.NewtonConfig(fixed_iters=4, chord=True, hessian="structured", linsolve="gj")
+    cfg = integrators.NewtonConfig(fixed_iters=3, predictor="quadratic", chord=True, hessian="structured", linsolve="gj")
     step2 = integrators.make_bdf2_step(sc.topo, sc.force_fns, cfg)
     sim2 = jax.jit(integrators.make_simulate(step2, nsteps))
     s0 = sc.initial_state("bdf2")

@@ -33,7 +33,7 @@ def main():
     nlinks, horizon = 12, 50
     dtype = jnp.float32
     sc = scene_chain(nlinks=nlinks).compile(dtype=dtype)
-    cfg = integrators.NewtonConfig(fixed_iters=4, chord=True, hessian="structured", linsolve="gj")
+    cfg = integrators.NewtonConfig(fixed_iters=3, predictor="quadratic", chord=True, hessian="structured", linsolve="gj")
     task = mpc.PointPosTask(body=nlinks - 1, wp=1.0, wreg=1e-6, pscale=1e3)
     obj = mpc.make_objective(
         sc.topo, sc.force_fns, task,
