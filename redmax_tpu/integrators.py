@@ -79,6 +79,20 @@ class NewtonConfig:
     # predictor error times the contraction factor^iters, so the better
     # predictor buys ~1 chord iteration for free.
     predictor: str = "linear"
+    # Per-iteration trust-region clamp on the Newton step norm (0 = off).
+    # Fixed-iteration (chord) solves have no line search; on violent
+    # transients (whip configurations of long chains) an overshooting step
+    # feeds the quadratic-velocity force and the iteration squares itself to
+    # overflow within a few steps. Clamping |dx| <= dx_clamp keeps diverged
+    # rollouts FINITE so they can be masked per-lane (the reference only
+    # `break`s with a message, driverRedMaxBDF1.m:118-121; under vmap a NaN
+    # lane would poison pmean-reduced objectives instead).
+    dx_clamp: float = 0.0
+    # Guarded chord: after each fixed chord iteration, re-evaluate the
+    # residual and halve the step (once, branchlessly) where |g| grew. One
+    # extra assembly per iteration; turns the n>=20-link chain from NaN into
+    # a converged solve while keeping static control flow.
+    guarded: bool = False
 
 
 class _NewtonCarry(NamedTuple):
@@ -102,14 +116,39 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
     if cfg.fixed_iters > 0:
         # Unrolled (fixed_iters is static and small) so XLA fuses freely.
         factor, solve, _ = make_solver(cfg.linsolve)
+
+        def clamp(dx):
+            if not cfg.dx_clamp:
+                return dx
+            nrm = jnp.linalg.norm(dx)
+            scale = jnp.minimum(1.0, cfg.dx_clamp / jnp.maximum(nrm, 1e-30))
+            return dx * scale.astype(dx.dtype)
+
         x = x0
         if cfg.chord:
             F = factor(jac_fn(x0))
-            for _ in range(cfg.fixed_iters):
-                x = x - solve(F, res_fn(x))
+            if cfg.guarded:
+                g = res_fn(x)
+                for _ in range(cfg.fixed_iters):
+                    dx = clamp(solve(F, g))
+                    g_full = res_fn(x - dx)
+                    # NaN-safe acceptance: a non-finite trial residual must
+                    # count as "grew" (NaN comparisons are False, so test
+                    # improvement, not growth).
+                    ok_full = jnp.linalg.norm(g_full) <= jnp.linalg.norm(g)
+                    x_half = x - 0.5 * dx
+                    g_half = res_fn(x_half)
+                    ok_half = jnp.all(jnp.isfinite(g_half))
+                    # full step if it improved; else half step if finite;
+                    # else stay put (lane is flagged by downstream masks).
+                    x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
+                    g = jnp.where(ok_full, g_full, jnp.where(ok_half, g_half, g))
+            else:
+                for _ in range(cfg.fixed_iters):
+                    x = x - clamp(solve(F, res_fn(x)))
         else:
             for _ in range(cfg.fixed_iters):
-                x = x - solve(factor(jac_fn(x)), res_fn(x))
+                x = x - clamp(solve(factor(jac_fn(x)), res_fn(x)))
         return x, {"iters": jnp.asarray(cfg.fixed_iters), "diverged": jnp.asarray(False)}
 
     def cond(c: _NewtonCarry):

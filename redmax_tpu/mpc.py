@@ -191,7 +191,15 @@ def make_mppi_solver(
         eps = sigma * jax.random.normal(key, (n_samples,) + p0.shape, p0.dtype)
         cand = p0[None] + eps
         costs = jax.vmap(lambda p: rollout_cost(params, p, state0, x_target))(cand)
-        w = jax.nn.softmax(-costs / temperature)
+        # Per-rollout failure masking (SURVEY §5): a diverged candidate must
+        # not poison the softmax average — treat non-finite cost as +inf
+        # (zero weight). If every candidate diverged, fall back to p0.
+        finite = jnp.isfinite(costs)
+        costs = jnp.where(finite, costs, jnp.inf)
+        any_ok = jnp.any(finite)
+        w = jax.nn.softmax(jnp.where(any_ok, -costs / temperature,
+                                     jnp.zeros_like(costs)))
+        cand = jnp.where(any_ok, cand, p0[None])
         p_new = jnp.einsum("s,s...->...", w, cand)
         return p_new, jnp.sum(w * costs)
 

@@ -63,11 +63,17 @@ def sharded_batch(
     )
     def run(params: Dict, p0, state0, targets):
         res = vsolve(params, p0, state0, targets)
-        mean_obj = jnp.mean(res.objective)
+        # Failure masking (SURVEY §5): average only finite lanes so one
+        # diverged rollout cannot NaN the fleet-wide metric. Weighted psum
+        # (sum / count) keeps the result identical to the unsharded masked
+        # mean regardless of how lanes distribute over devices.
+        finite = jnp.isfinite(res.objective)
+        obj_sum = jnp.sum(jnp.where(finite, res.objective, 0.0))
+        n_ok = jnp.sum(finite).astype(obj_sum.dtype)
         if reduce_metrics:
-            mean_obj = jax.lax.pmean(
-                jax.lax.pmean(mean_obj, "rollout"), "model"
-            )
+            obj_sum = jax.lax.psum(jax.lax.psum(obj_sum, "rollout"), "model")
+            n_ok = jax.lax.psum(jax.lax.psum(n_ok, "rollout"), "model")
+        mean_obj = obj_sum / jnp.maximum(n_ok, 1.0)
         return res, mean_obj
 
     return run
