@@ -30,8 +30,18 @@ def bench_scene(nlinks: int, nsteps: int = 100):
     # quadratic-velocity force until the linearly-implicit step (and any
     # fixed-iteration Newton) diverges — physically expected, the reference
     # euler path treats fqvv explicitly too (testRedMax.m:447-541).
-    sc = scene_chain(nlinks=nlinks, damping=1.0).compile(dtype=jnp.float64)
-    out = {"nlinks": nlinks, "nsteps": nsteps}
+    damping = 1.0
+    sc = scene_chain(nlinks=nlinks, damping=damping).compile(dtype=jnp.float64)
+    # Provenance: certificates below depend on the scene damping and on
+    # which integrator produced them; record both so cross-round comparisons
+    # of this report (BENCH_r*.json) can tell real drift from a harness
+    # configuration change.
+    out = {
+        "nlinks": nlinks,
+        "nsteps": nsteps,
+        "damping": damping,
+        "certificate_integrator": "bdf2_full_newton(tol=1e-9)",
+    }
 
     # --- dense linearly-implicit euler ---
     step = integrators.make_euler_step(sc.topo, sc.force_fns)

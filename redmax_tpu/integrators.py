@@ -89,10 +89,27 @@ class NewtonConfig:
     # lane would poison pmean-reduced objectives instead).
     dx_clamp: float = 0.0
     # Guarded chord: after each fixed chord iteration, re-evaluate the
-    # residual and halve the step (once, branchlessly) where |g| grew. One
-    # extra assembly per iteration; turns the n>=20-link chain from NaN into
-    # a converged solve while keeping static control flow.
+    # residual and halve the step (once, branchlessly) where |g| grew. Both
+    # the full-step and half-step trial residuals are evaluated each
+    # iteration (TWO extra residual assemblies per iteration under jit —
+    # lax.select has no short circuit); turns the n>=20-link chain from NaN
+    # into a converged solve while keeping static control flow.
     guarded: bool = False
+    # Fixed-iteration failure detection (none of these run a line search, so
+    # a solve can end finite but far from the root; such lanes must not pass
+    # downstream isfinite masks as valid states). A lane is rejected when
+    #   * the final iterate or residual is non-finite, or
+    #   * (guarded) an iteration hit the stay-put branch (both trial steps
+    #     non-finite), or
+    #   * the last measured residual norm grew by more than growth_reject
+    #     relative to the initial residual norm (0 disables; chord Newton
+    #     contracts monotonically on healthy lanes, so 10x growth over the
+    #     whole solve is unambiguous divergence), or
+    #   * tol_reject > 0 and the last measured |g| exceeds it (absolute).
+    # Rejected lanes are poisoned to NaN so every downstream mask
+    # (jnp.isfinite in mpc.py / parallel.py) treats them as diverged.
+    growth_reject: float = 10.0
+    tol_reject: float = 0.0
 
 
 class _NewtonCarry(NamedTuple):
@@ -125,10 +142,14 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
             return dx * scale.astype(dx.dtype)
 
         x = x0
+        g0n = None       # initial residual norm (set at first residual eval)
+        gln = None       # last measured residual norm
+        stayput = jnp.asarray(False)
         if cfg.chord:
             F = factor(jac_fn(x0))
             if cfg.guarded:
                 g = res_fn(x)
+                g0n = jnp.linalg.norm(g)
                 for _ in range(cfg.fixed_iters):
                     dx = clamp(solve(F, g))
                     g_full = res_fn(x - dx)
@@ -140,16 +161,33 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
                     g_half = res_fn(x_half)
                     ok_half = jnp.all(jnp.isfinite(g_half))
                     # full step if it improved; else half step if finite;
-                    # else stay put (lane is flagged by downstream masks).
+                    # else stay put (a real failure — recorded and rejected
+                    # below, since the stuck iterate is finite but wrong).
+                    stayput = stayput | (~ok_full & ~ok_half)
                     x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
                     g = jnp.where(ok_full, g_full, jnp.where(ok_half, g_half, g))
+                gln = jnp.linalg.norm(g)  # exact: g tracks the final iterate
             else:
                 for _ in range(cfg.fixed_iters):
-                    x = x - clamp(solve(F, res_fn(x)))
+                    g = res_fn(x)
+                    gn = jnp.linalg.norm(g)
+                    g0n = gn if g0n is None else g0n
+                    gln = gn  # residual at the PRE-update iterate (1 stale)
+                    x = x - clamp(solve(F, g))
         else:
             for _ in range(cfg.fixed_iters):
-                x = x - clamp(solve(factor(jac_fn(x)), res_fn(x)))
-        return x, {"iters": jnp.asarray(cfg.fixed_iters), "diverged": jnp.asarray(False)}
+                g = res_fn(x)
+                gn = jnp.linalg.norm(g)
+                g0n = gn if g0n is None else g0n
+                gln = gn
+                x = x - clamp(solve(factor(jac_fn(x)), g))
+        diverged = ~jnp.all(jnp.isfinite(x)) | ~jnp.isfinite(gln) | stayput
+        if cfg.growth_reject:
+            diverged = diverged | (gln > cfg.growth_reject * g0n)
+        if cfg.tol_reject:
+            diverged = diverged | (gln > cfg.tol_reject)
+        x = jnp.where(diverged, jnp.full_like(x, jnp.nan), x)
+        return x, {"iters": jnp.asarray(cfg.fixed_iters), "diverged": diverged}
 
     def cond(c: _NewtonCarry):
         return jnp.logical_not(c.done)

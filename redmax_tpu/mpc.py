@@ -201,6 +201,10 @@ def make_mppi_solver(
                                      jnp.zeros_like(costs)))
         cand = jnp.where(any_ok, cand, p0[None])
         p_new = jnp.einsum("s,s...->...", w, cand)
-        return p_new, jnp.sum(w * costs)
+        # Masked-lane weights are exactly 0 but their costs are inf, and
+        # 0 * inf = NaN — sum only the finite lanes, and report inf (not
+        # NaN) when every candidate diverged.
+        mean_cost = jnp.sum(jnp.where(finite, w * costs, 0.0))
+        return p_new, jnp.where(any_ok, mean_cost, jnp.inf)
 
     return solve

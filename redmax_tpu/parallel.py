@@ -47,9 +47,10 @@ def sharded_batch(
 
     solve_fn: (params, p0 [np], state0: State, target [3]) -> MpcResult.
     Returns run(params, p0 [B,np], state0 [B,...], targets [B,3]) with the
-    batch axis sharded over BOTH mesh axes; per-shard vmap; pmean of the
-    objective across the mesh when reduce_metrics (the psum reduction the
-    BASELINE multi-host scaling criterion measures).
+    batch axis sharded over BOTH mesh axes; per-shard vmap; the objective is
+    reduced across the mesh with a weighted psum (finite-lane sum and count
+    are psum'd separately, then divided) when reduce_metrics — the psum
+    reduction the BASELINE multi-host scaling criterion measures.
     """
     vsolve = jax.vmap(solve_fn, in_axes=(None, 0, 0, 0))
     batch_spec = P(("rollout", "model"))
@@ -73,7 +74,11 @@ def sharded_batch(
         if reduce_metrics:
             obj_sum = jax.lax.psum(jax.lax.psum(obj_sum, "rollout"), "model")
             n_ok = jax.lax.psum(jax.lax.psum(n_ok, "rollout"), "model")
-        mean_obj = obj_sum / jnp.maximum(n_ok, 1.0)
+        # All-lanes-failed must read as failure (inf), not as a
+        # perfect-looking 0/1 = 0.0 objective.
+        mean_obj = jnp.where(
+            n_ok > 0, obj_sum / jnp.maximum(n_ok, 1.0), jnp.inf
+        )
         return res, mean_obj
 
     return run
