@@ -574,15 +574,11 @@ def make_simulate(
 # ---------------------------------------------------------------------------
 
 
-def make_euler_step(
-    topo: Topology,
-    force_fns: Tuple = (),
-    constraint_fns: Tuple = (),
-    pgs_iters: int = 40,
-):
-    """One linearly-implicit Euler step (matlab/testRedMax.m:447-541).
+def euler_system(topo: Topology, force_fns: Tuple, params: Dict, q0, qdot0, aux=None):
+    """Assemble the linearly-implicit Euler system pieces (shared by the
+    dense step and the matrix-free PCG tier so their semantics cannot drift):
 
-        Mrtilde qdot1 = frtilde,  q1 = q0 + h qdot1
+        Mrtilde qdot1 = frtilde
         frtilde = Mr qdot0 + h (J^T (f0_m - Mm Jdot qdot0) + f0_r)
         Mrtilde = Mr - h J^T Dm J - h^2 J^T Km_sym J - h Dr - h^2 Kr
 
@@ -592,6 +588,83 @@ def make_euler_step(
     (SpringPointPoint.m:169 symmetrizes), and Kr/Dr/Dm are raw jacfwd
     derivatives (matching the reference's sign conventions after mapping
     Dm_ref = -Dm_auto etc.).
+
+    Returns a dict of the assembled pieces: kin, J, Jdot, phi, Mr, frtilde,
+    Mrtilde, and the maximal/reduced derivative blocks (Km, Dm, Kr, Dr) the
+    PCG tier applies matrix-free against J x.
+    """
+    h = params["h"]
+
+    kin = forward_kinematics(topo, params, q0, qdot0, aux)
+    J, Jdot, phi = jacobians(topo, params, kin, qdot0)
+
+    fr_full = joint_space_force(topo, params, q0, qdot0)
+    Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot0))(q0)
+    Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q0, qd))(qdot0)
+    f0_r = fr_full - Dr @ qdot0          # strip (linear) damping forces
+
+    fm_grav = maximal_force(topo, params, kin, phi)      # coriolis+gravity
+    _, fm_cl = closure_forces(topo, params, kin, phi, q0, qdot0, force_fns)
+    Km, Dm = maximal_force_KD(topo, params, kin, phi, q0, qdot0, force_fns)
+    Km = 0.5 * (Km + Km.T)
+    # Damping forces are one-sidedly implicit (reference discards them
+    # from f0) EXCEPT for forces with strip_damping=False (SpringDamperM,
+    # whose damping force stays in fm per computeForceStiffnessDamping).
+    # NOTE: the strip matrix is the PRE-custom autodiff Dm.
+    strip_fns = tuple(
+        f for f in force_fns
+        if getattr(f, "implicit_KD", True) and getattr(f, "strip_damping", True)
+    )
+    if strip_fns == tuple(f for f in force_fns if getattr(f, "implicit_KD", True)):
+        Dm_strip = Dm
+    else:
+        _, Dm_strip = maximal_force_KD(
+            topo, params, kin, phi, q0, qdot0, strip_fns
+        )
+    fm_el = fm_cl.reshape(-1) - Dm_strip @ phi.reshape(-1)
+    f0_m = fm_grav.reshape(-1) + fm_el
+    bd = params.get("body_damping")
+    if bd is not None:
+        # Body damping is one-sidedly implicit (Body.computeForceDamping
+        # force discarded in euler; D enters the LHS).
+        bd6 = jnp.repeat(bd, 6)
+        f0_m = f0_m + bd6 * phi.reshape(-1)
+        Dm = Dm - jnp.diag(bd6)
+    for fcn in force_fns:
+        if getattr(fcn, "custom_KD", False):
+            Kc, Dc = fcn.matlab_KD(params, kin, phi, q0, qdot0)
+            Km = Km + Kc
+            Dm = Dm + Dc
+
+    Ivec = params["I_i"].reshape(-1)
+    MmJ = Ivec[:, None] * J
+    Mr = J.T @ MmJ
+    Mr = 0.5 * (Mr + Mr.T)
+    frtilde = Mr @ qdot0 + h * (
+        J.T @ (f0_m - Ivec * (Jdot @ qdot0)) + f0_r
+    )
+    Mrtilde = (
+        Mr
+        - h * (J.T @ (Dm @ J))
+        - h * h * (J.T @ (Km @ J))
+        - h * Dr
+        - h * h * Kr
+    )
+    return {
+        "kin": kin, "J": J, "Jdot": Jdot, "phi": phi,
+        "Mr": Mr, "frtilde": frtilde, "Mrtilde": Mrtilde,
+        "Km": Km, "Dm": Dm, "Kr": Kr, "Dr": Dr,
+    }
+
+
+def make_euler_step(
+    topo: Topology,
+    force_fns: Tuple = (),
+    constraint_fns: Tuple = (),
+    pgs_iters: int = 40,
+):
+    """One linearly-implicit Euler step (matlab/testRedMax.m:447-541); the
+    system assembly lives in euler_system (docstring there).
 
     Constraints: equality rows G qdot1 = -gdot - baum3 g via dense KKT;
     with inequalities active, the dual PGS QP (qp.qp_pgs) replaces
@@ -605,63 +678,10 @@ def make_euler_step(
         q0, qdot0, aux = state.q, state.qdot, state.aux
         h = params["h"]
         dtype = q0.dtype
-        N = topo.njoints
 
-        kin = forward_kinematics(topo, params, q0, qdot0, aux)
-        J, Jdot, phi = jacobians(topo, params, kin, qdot0)
-
-        fr_full = joint_space_force(topo, params, q0, qdot0)
-        Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot0))(q0)
-        Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q0, qd))(qdot0)
-        f0_r = fr_full - Dr @ qdot0          # strip (linear) damping forces
-
-        fm_grav = maximal_force(topo, params, kin, phi)      # coriolis+gravity
-        _, fm_cl = closure_forces(topo, params, kin, phi, q0, qdot0, force_fns)
-        Km, Dm = maximal_force_KD(topo, params, kin, phi, q0, qdot0, force_fns)
-        Km = 0.5 * (Km + Km.T)
-        # Damping forces are one-sidedly implicit (reference discards them
-        # from f0) EXCEPT for forces with strip_damping=False (SpringDamperM,
-        # whose damping force stays in fm per computeForceStiffnessDamping).
-        # NOTE: the strip matrix is the PRE-custom autodiff Dm.
-        strip_fns = tuple(
-            f for f in force_fns
-            if getattr(f, "implicit_KD", True) and getattr(f, "strip_damping", True)
-        )
-        if strip_fns == tuple(f for f in force_fns if getattr(f, "implicit_KD", True)):
-            Dm_strip = Dm
-        else:
-            _, Dm_strip = maximal_force_KD(
-                topo, params, kin, phi, q0, qdot0, strip_fns
-            )
-        fm_el = fm_cl.reshape(-1) - Dm_strip @ phi.reshape(-1)
-        f0_m = fm_grav.reshape(-1) + fm_el
-        bd = params.get("body_damping")
-        if bd is not None:
-            # Body damping is one-sidedly implicit (Body.computeForceDamping
-            # force discarded in euler; D enters the LHS).
-            bd6 = jnp.repeat(bd, 6)
-            f0_m = f0_m + bd6 * phi.reshape(-1)
-            Dm = Dm - jnp.diag(bd6)
-        for fcn in force_fns:
-            if getattr(fcn, "custom_KD", False):
-                Kc, Dc = fcn.matlab_KD(params, kin, phi, q0, qdot0)
-                Km = Km + Kc
-                Dm = Dm + Dc
-
-        Ivec = params["I_i"].reshape(-1)
-        MmJ = Ivec[:, None] * J
-        Mr = J.T @ MmJ
-        Mr = 0.5 * (Mr + Mr.T)
-        frtilde = Mr @ qdot0 + h * (
-            J.T @ (f0_m - Ivec * (Jdot @ qdot0)) + f0_r
-        )
-        Mrtilde = (
-            Mr
-            - h * (J.T @ (Dm @ J))
-            - h * h * (J.T @ (Km @ J))
-            - h * Dr
-            - h * h * Kr
-        )
+        sys = euler_system(topo, force_fns, params, q0, qdot0, aux)
+        kin, J, phi = sys["kin"], sys["J"], sys["phi"]
+        Mrtilde, frtilde = sys["Mrtilde"], sys["frtilde"]
 
         if constraint_fns:
             rows = assemble_constraints(

@@ -124,44 +124,158 @@ def pcg(lhs: Callable, b, precond: Optional[Callable] = None,
     return PcgResult(x=x, iters=it, resnorm=jnp.linalg.norm(r))
 
 
+def _euler_matfree(topo: Topology, force_fns: Tuple, params: Dict, q, qdot, aux):
+    """Shared setup for the PCG Euler tiers: assemble the system pieces with
+    integrators.euler_system (same semantics as the dense step — spring
+    Km/Dm folding, one-sided implicit damping, body damping) and return
+    (lhs matvec, frtilde, minv preconditioner, sys dict).
+
+    The CG operator applies Mm (diagonal) and the maximal spring blocks
+    against J x via tree-sweep products (ConstraintJoint::computeLHS_x +
+    computeStiffnessDampingJoint, ConstraintJoint.h:49-58) — Mr is never
+    formed for the matvec; the dense Mr in sys is only used by frtilde.
+    """
+    from redmax_tpu.integrators import euler_system
+    from redmax_tpu.recursive import make_minv_product
+
+    h = params["h"]
+    sys = euler_system(topo, force_fns, params, q, qdot, aux)
+    kin = sys["kin"]
+    J_x, JT_y = make_J_products(topo, params, kin)
+    Ivec = params["I_i"].reshape(-1)
+    Km, Dm, Kr, Dr = sys["Km"], sys["Dm"], sys["Kr"], sys["Dr"]
+    # Static sparsity: with no closure forces and no body damping the
+    # maximal blocks are exactly zero — skip their matvecs.
+    have_maximal_KD = bool(force_fns) or params.get("body_damping") is not None
+
+    def lhs(x):
+        Jx = J_x(x)
+        w = Ivec * Jx
+        if have_maximal_KD:
+            w = w - h * (Dm @ Jx) - h * h * (Km @ Jx)
+        return JT_y(w) - h * (Dr @ x) - h * h * (Kr @ x)
+
+    minv = make_minv_product(topo, params, kin)
+    return lhs, sys["frtilde"], minv, sys
+
+
 def make_euler_pcg_solver(topo: Topology, force_fns: Tuple = (),
                           tol: float = 1e-6, maxit: int = 1000):
     """Matrix-free linearly-implicit Euler velocity solve:
 
-        (Mr + h Dr~ - ...) qdot1 = frtilde
+        Mrtilde qdot1 = frtilde   (pieces from integrators.euler_system)
 
-    solved by PCG with the RHD preconditioner. Returns
-    solve(params, kin, q, qdot) -> (qdot1, PcgResult). Currently covers the
-    unconstrained stiffness/damping-free LHS (Mm diagonal); joint K/D fold
-    into the preconditioner exactly as ConstraintJoint.cpp:1258-1262 when
-    present via the dense path.
+    applied matrix-free (Solver::solvePCG, Solver.cpp:567-875) and solved by
+    PCG with the RHD projected-block-Jacobi preconditioner. Returns
+    solve(params, q, qdot, aux) -> (qdot1, PcgResult).
     """
-    from redmax_tpu.model import (
-        forward_kinematics, joint_space_force, maximal_force,
-    )
-    from redmax_tpu.recursive import make_minv_product
 
     def solve(params: Dict, q, qdot, aux=None):
-        h = params["h"]
-        kin = forward_kinematics(topo, params, q, qdot, aux)
-        J_x, JT_y = make_J_products(topo, params, kin)
-        J, Jdot, phi = jacobians(topo, params, kin, qdot)
-        Ivec = params["I_i"].reshape(-1)
-
-        fr = joint_space_force(topo, params, q, qdot)
-        fm = maximal_force(topo, params, kin, phi)
-        Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q, qd))(qdot)
-        Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot))(q)
-        f0_r = fr - Dr @ qdot
-
-        Mr_qdot = JT_y(Ivec * J_x(qdot))
-        frt = Mr_qdot + h * (JT_y(fm.reshape(-1) - Ivec * (Jdot @ qdot)) + f0_r)
-
-        def lhs(x):
-            return JT_y(Ivec * J_x(x)) - h * (Dr @ x) - h * h * (Kr @ x)
-
-        minv = make_minv_product(topo, params, kin)
+        lhs, frt, minv, _ = _euler_matfree(topo, force_fns, params, q, qdot, aux)
         res = pcg(lhs, frt, minv, tol, maxit)
         return res.x, res
 
     return solve
+
+
+def make_euler_pcg_constrained_solver(
+    topo: Topology,
+    force_fns: Tuple = (),
+    constraint_fns: Tuple = (),
+    tol: float = 1e-6,
+    maxit: int = 1000,
+):
+    """Loop-closure (equality) constraints on the matrix-free Euler solve via
+    the Schur complement (Solver::solvePCG constrained paths,
+    Solver.cpp:654-746):
+
+        S = G Mrtilde^{-1} G^T,   S lam = G qdot1_unc - rhsG,
+        qdot1 = qdot1_unc - (Mrtilde^{-1} G^T) lam
+
+    with rhsG = -gdot - baum3 g (the dense KKT semantics of
+    integrators.make_euler_step, so both tiers solve the same system).
+
+    TPU mapping: the reference runs ONE PCG PER CONSTRAINT ROW under OpenMP
+    (#pragma omp parallel for, Solver.cpp:714, with thread-local RHD scratch
+    State::local_mt, State.h:106-113) plus one for the unconstrained solve;
+    here all me+1 right-hand sides are ONE vmapped batched CG sharing the
+    operator and preconditioner — the batch axis is the parallelism, no
+    scratch aliasing to manage. The reference's final PCG on
+    (frtilde - G^T lam) is algebraically the linear combination
+    qdot1_unc - MiGt lam already solved for, so it is not re-run.
+
+    Returns solve(params, q, qdot, aux) -> (qdot1, lam, PcgResult [me+1]).
+    """
+    from redmax_tpu.constraints import assemble_constraints
+
+    def solve(params: Dict, q, qdot, aux=None):
+        dtype = q.dtype
+        lhs, frt, minv, sys = _euler_matfree(
+            topo, force_fns, params, q, qdot, aux
+        )
+        rows = assemble_constraints(
+            constraint_fns, params, topo, sys["kin"], sys["phi"], q, qdot,
+            sys["J"],
+        )
+        Geq = rows["Geq"]                       # [me, nr] reduced rows
+        baum3 = params.get("baumgarte", jnp.array([5.0, 5.0, 5.0], dtype))[2]
+        rhsG = -rows["geqdot"] - baum3 * rows["geq"]
+
+        # One batched CG over [frtilde; G^T columns] (me+1 lanes).
+        B = jnp.concatenate([frt[None, :], Geq], axis=0)
+        res = jax.vmap(lambda b: pcg(lhs, b, minv, tol, maxit))(B)
+        qdot1_unc = res.x[0]
+        MiGt = res.x[1:].T                      # [nr, me] = Mrtilde^{-1} G^T
+
+        S = Geq @ MiGt                          # [me, me] Schur complement
+        lam = jnp.linalg.solve(S, Geq @ qdot1_unc - rhsG)
+        qdot1 = qdot1_unc - MiGt @ lam
+        return qdot1, lam, res
+
+    return solve
+
+
+def make_euler_pcg_step(
+    topo: Topology,
+    force_fns: Tuple = (),
+    constraint_fns: Tuple = (),
+    tol: float = 1e-6,
+    maxit: int = 1000,
+):
+    """Full linearly-implicit Euler step through the PCG tier (the C++
+    performance path's step loop, RigidBodyMain.cpp:412-431): velocity solve
+    (Schur-constrained when equality constraints are present), position
+    update, reparameterization. State -> State, same contract as
+    integrators.make_euler_step.
+    """
+    from redmax_tpu.model import reparam_all
+    from redmax_tpu.types import State
+
+    eq_only = tuple(
+        c for c in constraint_fns if (c.n_eq_m or c.n_eq_r)
+    )
+    if constraint_fns and len(eq_only) != len(constraint_fns):
+        raise NotImplementedError(
+            "PCG tier handles equality (loop-closure) constraints only; "
+            "inequality rows need the dense QP path (make_euler_step)."
+        )
+    if eq_only:
+        vel_solve = make_euler_pcg_constrained_solver(
+            topo, force_fns, eq_only, tol, maxit
+        )
+    else:
+        unc = make_euler_pcg_solver(topo, force_fns, tol, maxit)
+
+        def vel_solve(params, q, qdot, aux=None):
+            qdot1, res = unc(params, q, qdot, aux)
+            return qdot1, None, res
+
+    def step(params: Dict, state):
+        q0, qdot0, aux = state.q, state.qdot, state.aux
+        h = params["h"]
+        qdot1 = vel_solve(params, q0, qdot0, aux)[0]
+        q1 = q0 + h * qdot1
+        q1, qdot1, aux, _, _ = reparam_all(topo, params, q1, qdot1, aux)
+        return State(q=q1, qdot=qdot1, aux=aux)
+
+    return step

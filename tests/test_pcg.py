@@ -35,3 +35,42 @@ def test_pcg_euler_matches_dense():
     assert float(jnp.abs(qdot1 - s1.qdot).max()) < 1e-8
     # The RHD preconditioner is the exact inverse for the pure-inertia LHS.
     assert int(res.iters) <= 3
+
+
+def test_pcg_schur_loop_constraint_matches_dense_kkt():
+    """Schur-complement loop-closure path (Solver.cpp:654-746) vs the dense
+    KKT euler solve — same system, so qdot1 must agree to CG tolerance.
+    The reference's per-row OpenMP PCG fan-out is one vmapped batched CG."""
+    from redmax_tpu.scenes_matlab import build_mscene
+
+    sc = build_mscene(15)  # slider-crank loop: ConstraintLoop (2 eq-M rows)
+    solve = pcg.make_euler_pcg_constrained_solver(
+        sc.topo, sc.force_fns, sc.constraint_fns, tol=1e-12
+    )
+    qdot1, lam, res = solve(sc.params, sc.state0.q, sc.state0.qdot)
+
+    step = integrators.make_euler_step(sc.topo, sc.force_fns, sc.constraint_fns)
+    s1 = step(sc.params, sc.state0)
+    assert float(jnp.abs(qdot1 * sc.params["h"] + sc.state0.q - s1.q).max()) < 1e-8
+    assert lam.shape == (2,)
+
+
+def test_pcg_step_trajectory_matches_dense():
+    """Full PCG-tier euler stepping (velocity solve + position update +
+    reparam) tracks the dense euler step over a short trajectory."""
+    import jax
+
+    from redmax_tpu.scenes_matlab import build_mscene
+
+    sc = build_mscene(15)
+    nsteps = 20
+    dense = integrators.make_euler_step(sc.topo, sc.force_fns, sc.constraint_fns)
+    tier = pcg.make_euler_pcg_step(
+        sc.topo, sc.force_fns, sc.constraint_fns, tol=1e-12
+    )
+    sim_d = jax.jit(integrators.make_simulate(dense, nsteps))
+    sim_t = jax.jit(integrators.make_simulate(tier, nsteps))
+    fd = sim_d(sc.params, sc.state0)
+    ft = sim_t(sc.params, sc.state0)
+    assert float(jnp.abs(fd.q - ft.q).max()) < 1e-6
+    assert float(jnp.abs(fd.qdot - ft.qdot).max()) < 1e-5
