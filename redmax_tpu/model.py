@@ -174,6 +174,53 @@ def joint_space_force(topo: Topology, params: Dict, q, qdot):
     return fr
 
 
+def joint_space_KD_diag(topo: Topology, params: Dict, q, qdot):
+    """Diagonals of Kr = dfr/dq and Dr = dfr/dqdot in closed form.
+
+    joint_space_force is elementwise per DOF, so its Jacobians are diagonal;
+    the limit-penalty indicators (hitL/hitU) pass through .astype and have
+    zero derivative, so these diagonals equal jacfwd(joint_space_force)
+    exactly — without spending nr forward tangents on a diagonal matrix.
+    """
+    hit = (q < params["qlimL"]).astype(q.dtype) + (q > params["qlimU"]).astype(q.dtype)
+    Kd = -params["stiffness"] - hit * params["qlimK"]
+    Dd = -params["damping"] - hit * params["qlimD"]
+    return Kd, Dd
+
+
+def local_force_blocks(topo: Topology, params: Dict, kin: Kinematics, phi):
+    """[N,6,6] per-body stiffness/damping blocks of the LOCAL maximal forces
+    (Coriolis + gravity + body viscous damping, Body.computeMassGrav).
+
+    fm_i depends only on body i's own pose and twist, so dfm/dxi and dfm/dphi
+    are block-diagonal: a vmapped 6-tangent jacfwd per body replaces the
+    6N-tangent whole-system jacfwd (12x fewer tangents on the 12-link chain,
+    and [N,6,6] materialized instead of [6N,6N]).
+    """
+    g = params["g"]
+    bd = params.get("body_damping")
+    dtype = phi.dtype
+    z6 = jnp.zeros(6, dtype=dtype)
+    z3 = jnp.zeros(3, dtype=dtype)
+
+    def f_one(E, Ii, phii, bdi, xi, dphi):
+        R = (E @ se3.exp(xi))[:3, :3]
+        ph = phii + dphi
+        fcor = se3.ad(ph).T @ (Ii * ph)
+        f = fcor + jnp.concatenate([z3, Ii[3] * (R.T @ g)])
+        if bd is not None:
+            f = f - bdi * ph
+        return f
+
+    def blocks(E, Ii, phii, bdi):
+        K = jax.jacfwd(lambda xi: f_one(E, Ii, phii, bdi, xi, z6))(z6)
+        D = jax.jacfwd(lambda dp: f_one(E, Ii, phii, bdi, z6, dp))(z6)
+        return K, D
+
+    bdv = bd if bd is not None else jnp.zeros(phi.shape[0], dtype=dtype)
+    return jax.vmap(blocks)(kin.E_wi, params["I_i"], phi, bdv)
+
+
 def maximal_force(topo: Topology, params: Dict, kin: Kinematics, phi):
     """Maximal (per-body wrench) forces fm [N, 6]: Coriolis + gravity.
 
@@ -259,32 +306,46 @@ def structured_hessian(
     kin = forward_kinematics(topo, params, q, qdot, aux)
     J, Jdot, phi = jacobians(topo, params, kin, qdot)
 
-    Kr = jax.jacfwd(lambda qq: joint_space_force(topo, params, qq, qdot))(q)
-    Dr = jax.jacfwd(lambda qd: joint_space_force(topo, params, q, qd))(qdot)
-
     N = topo.njoints
+    nr = topo.nr
     dtype = q.dtype
-    z = jnp.zeros((N, 6), dtype=dtype)
 
+    # Joint-space Kr/Dr are diagonal — closed form, no tangents.
+    Krd, Drd = joint_space_KD_diag(topo, params, q, qdot)
+
+    # Local maximal forces (Coriolis/gravity/body damping) have block-diagonal
+    # Km/Dm: per-body 6-tangent jacfwd, contracted per block.
+    Kmb, Dmb = local_force_blocks(topo, params, kin, phi)
+    Jblk = J.reshape(N, 6, nr)
+    KJ = jnp.einsum("nij,njr->nir", Kmb, Jblk)
+    DJ = jnp.einsum("nij,njr->nir", Dmb, Jblk)
+    Kt = jnp.diag(Krd) + jnp.einsum("nir,nis->rs", Jblk, KJ)
+    Dt = jnp.diag(Drd) + jnp.einsum("nir,nis->rs", Jblk, DJ)
+
+    # Closure forces may couple bodies (point-point springs, cables, ...):
+    # their Km/Dm keep the whole-system jacfwd — only when any are present.
     fns = tuple(f for f in force_fns if getattr(f, "implicit_KD", True))
+    if fns:
+        z = jnp.zeros((N, 6), dtype=dtype)
 
-    def fm_of(xi, dphi):
-        kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
-        ph = phi + dphi
-        fm = maximal_force(topo, params, kin2, ph)
-        for fn in fns:
-            _, fm_a = fn(params, kin2, None, ph, q, qdot)
-            fm = fm + fm_a
-        return fm
+        def fm_of(xi, dphi):
+            kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+            ph = phi + dphi
+            fm = jnp.zeros((N, 6), dtype=dtype)
+            for fn in fns:
+                _, fm_a = fn(params, kin2, None, ph, q, qdot)
+                fm = fm + fm_a
+            return fm
 
-    Km = jax.jacfwd(fm_of, argnums=0)(z, z).reshape(6 * N, 6 * N)
-    Dm = jax.jacfwd(fm_of, argnums=1)(z, z).reshape(6 * N, 6 * N)
+        Km = jax.jacfwd(fm_of, argnums=0)(z, z).reshape(6 * N, 6 * N)
+        Dm = jax.jacfwd(fm_of, argnums=1)(z, z).reshape(6 * N, 6 * N)
+        Kt = Kt + J.T @ (Km @ J)
+        Dt = Dt + J.T @ (Dm @ J)
 
     Ivec = params["I_i"].reshape(-1)
     MmJ = Ivec[:, None] * J
     M = J.T @ MmJ
-    Kt = Kr + J.T @ (Km @ J)
-    Dt = Dr + J.T @ (Dm @ J) - 2.0 * (MmJ.T @ Jdot)
+    Dt = Dt - 2.0 * (MmJ.T @ Jdot)
     return M + cK * Kt + cD * Dt
 
 
