@@ -80,3 +80,46 @@ def _bwd(res_fn, newton_fn, hess_fn, solve_T_fn, saved, xbar):
 
 
 implicit_solve.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def implicit_solve_factored(
+    res_fn: Callable,
+    newton_factored_fn: Callable,
+    solve_T_factor_fn: Callable,
+    theta: Any,
+    x0,
+):
+    """implicit_solve variant that REUSES the forward factorization.
+
+    newton_factored_fn: (theta, x0) -> (x*, F) where F is the live
+    factorization of the Newton matrix (chord: at the predictor) — the exact
+    analogue of the reference's Scene.saveHistory LU store consumed by
+    TaskBDF1.calcFinal (TaskBDF1.m:66 z = U'\\(L'\\y)). The backward pass is
+    then one transposed solve against F plus one residual VJP; no Hessian
+    re-assembly, no re-factorization.
+
+    Bias: F is evaluated at the predictor, not the solution — an extra
+    O(|x*-x0|) relative perturbation of H, the same class as the structured-
+    Hessian truncation already accepted on this path. The residual VJP stays
+    exact.
+    """
+    x, _ = newton_factored_fn(theta, x0)
+    return x
+
+
+def _ffwd(res_fn, newton_factored_fn, solve_T_factor_fn, theta, x0):
+    x, F = newton_factored_fn(theta, x0)
+    return x, (theta, x, F)
+
+
+def _fbwd(res_fn, newton_factored_fn, solve_T_factor_fn, saved, xbar):
+    theta, xstar, F = saved
+    z = solve_T_factor_fn(F, xbar)
+    _, vjp_theta = jax.vjp(lambda th: res_fn(th, xstar), theta)
+    (thetabar,) = vjp_theta(-z)
+    x0bar = jax.tree_util.tree_map(jnp.zeros_like, xstar)
+    return (thetabar, x0bar)
+
+
+implicit_solve_factored.defvjp(_ffwd, _fbwd)

@@ -28,7 +28,7 @@ from typing import Callable, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from redmax_tpu.adjoint import implicit_solve
+from redmax_tpu.adjoint import implicit_solve, implicit_solve_factored
 from redmax_tpu.linalg import make_solver
 from redmax_tpu.model import (
     assemble,
@@ -110,6 +110,15 @@ class NewtonConfig:
     # (jnp.isfinite in mpc.py / parallel.py) treats them as diverged.
     growth_reject: float = 10.0
     tol_reject: float = 0.0
+    # Adjoint factor reuse (differentiable fixed-iteration solves only): the
+    # backward H^-T solve reuses the factorization the FORWARD chord solve
+    # already built at the predictor, instead of re-assembling + re-factoring
+    # H at the solution (the reference reuses its forward LU the same way,
+    # TaskBDF1.m:66 via Scene.saveHistory). With a structured H this adds a
+    # second O(|x*-x0|) = O(h^2) relative bias term of the same class as the
+    # structured truncation itself; the exact-residual VJP is untouched.
+    # Saves one full Hessian assembly + factorization per step in backward.
+    adjoint_reuse_factor: bool = True
 
 
 class _NewtonCarry(NamedTuple):
@@ -175,19 +184,28 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
                     gln = gn  # residual at the PRE-update iterate (1 stale)
                     x = x - clamp(solve(F, g))
         else:
+            F = None
             for _ in range(cfg.fixed_iters):
                 g = res_fn(x)
                 gn = jnp.linalg.norm(g)
                 g0n = gn if g0n is None else g0n
                 gln = gn
-                x = x - clamp(solve(factor(jac_fn(x)), g))
+                F = factor(jac_fn(x))
+                x = x - clamp(solve(F, g))
         diverged = ~jnp.all(jnp.isfinite(x)) | ~jnp.isfinite(gln) | stayput
         if cfg.growth_reject:
             diverged = diverged | (gln > cfg.growth_reject * g0n)
         if cfg.tol_reject:
             diverged = diverged | (gln > cfg.tol_reject)
         x = jnp.where(diverged, jnp.full_like(x, jnp.nan), x)
-        return x, {"iters": jnp.asarray(cfg.fixed_iters), "diverged": diverged}
+        # "factor": the live factorization (chord: at the predictor; plain
+        # fixed-iters: at the last iterate) — reusable by the adjoint
+        # backward solve (cfg.adjoint_reuse_factor).
+        return x, {
+            "iters": jnp.asarray(cfg.fixed_iters),
+            "diverged": diverged,
+            "factor": F,
+        }
 
     def cond(c: _NewtonCarry):
         return jnp.logical_not(c.done)
@@ -374,6 +392,26 @@ def _make_solve_T(cfg: NewtonConfig):
     return lambda H, xbar: solve_T(factor(H), xbar)
 
 
+def _factored_adjoint_parts(cfg: NewtonConfig):
+    """(newton_factored maker, solve_T_factor) for implicit_solve_factored,
+    or None when the solver config produces no reusable factorization
+    (fixed_iters == 0) or reuse is disabled."""
+    if not (cfg.fixed_iters > 0 and cfg.adjoint_reuse_factor):
+        return None
+    _, _, solve_T = make_solver(cfg.linsolve)
+
+    def make_newton_factored(res_theta_fn, hess_fn):
+        def run(theta, x0):
+            res = lambda x: res_theta_fn(theta, x)
+            jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
+            x, info = newton(res, x0, cfg, jac_fn=jac)
+            return x, info["factor"]
+
+        return run
+
+    return make_newton_factored, solve_T
+
+
 def make_bdf1_step(
     topo: Topology,
     force_fns: Tuple = (),
@@ -389,16 +427,25 @@ def make_bdf1_step(
     newton_fn = lambda fn, jac, x0: newton(fn, x0, cfg, jac_fn=jac)[0]
     hess_fn = _hess_bdf1(topo, force_fns) if cfg.hessian == "structured" else None
     solve_T = _make_solve_T(cfg)
+    fac_parts = _factored_adjoint_parts(cfg)
 
     def _res(theta, q1):
         params, q0, qdot0, aux = theta
         return residual_bdf1(topo, force_fns, params, q1, q0, qdot0, aux)
 
+    if fac_parts is not None:
+        make_nf, solve_T_fac = fac_parts
+        _newton_fac = make_nf(_res, hess_fn)
+
     def step(params: Dict, state: State) -> State:
         q0, qdot0, aux = state.q, state.qdot, state.aux
         h = params["h"]
         theta = (params, q0, qdot0, aux)
-        if differentiable:
+        if differentiable and fac_parts is not None:
+            q1 = implicit_solve_factored(
+                _res, _newton_fac, solve_T_fac, theta, q0 + h * qdot0
+            )
+        elif differentiable:
             q1 = implicit_solve(_res, newton_fn, hess_fn, solve_T, theta, q0 + h * qdot0)
         else:
             jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
@@ -440,8 +487,20 @@ def make_bdf2_step(
     hess_b = _hess_sdirk2b(topo, force_fns) if structured else None
     hess_2 = _hess_bdf2(topo, force_fns) if structured else None
     solve_T = _make_solve_T(cfg)
+    fac_parts = _factored_adjoint_parts(cfg)
 
-    def _solve(res_theta_fn, hess_fn, theta, x0):
+    def _solve(res_theta_fn, hess_fn, theta, x0, _cache={}):
+        if differentiable and fac_parts is not None:
+            make_nf, solve_T_fac = fac_parts
+            # one newton_factored closure per (res, hess) pair, built lazily
+            # and cached so repeated scan steps share the same custom-VJP
+            # nondiff identity.
+            key = id(res_theta_fn)
+            if key not in _cache:
+                _cache[key] = make_nf(res_theta_fn, hess_fn)
+            return implicit_solve_factored(
+                res_theta_fn, _cache[key], solve_T_fac, theta, x0
+            )
         if differentiable:
             return implicit_solve(res_theta_fn, newton_fn, hess_fn, solve_T, theta, x0)
         jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
