@@ -294,6 +294,69 @@ KERNELS: Dict[JointType, JointKernel] = {
 }
 
 
+def make_composite(jt1: JointType, jt2: JointType) -> JointKernel:
+    """General two-joint composition (matlab/+redmax/JointComposite.m:38-72):
+
+        Q = Q1(q[:n1], p1) @ Q2(q[n1:], p2)
+
+    The reference hand-assembles S = [Ad(Q2^{-1}) S1, S2] and its derivative
+    stacks; here that identity is a THEOREM of derive_S applied to the
+    composed Q — unhat6(Q^{-1} dQ/dq) over the product splits into exactly
+    those blocks — so any (type1, type2) pair composes with exact S/Sdot and
+    no per-pair code (verified against the hand-assembled formula for
+    revolute∘spherical and prismatic∘universal in tests/test_derivatives.py).
+
+    Sub-joint params live in params["p1"] / params["p2"]; the post-step
+    reparameterizations of the sub-joints (e.g. exp-map rescale of a
+    spherical member) compose slice-wise.
+
+    Scene-level note: a composite joint is exactly equivalent to chaining
+    joint1 (owning a massless body at the joint frame) and joint2 with
+    E_pj = I — SceneBuilder.joint_composite desugars arbitrary pairs that
+    way, so compiled scenes keep one static JointType per joint row.
+    """
+    k1, k2 = KERNELS[jt1], KERNELS[jt2]
+    n1 = NDOF[jt1]
+
+    def Q_fn(q, params):
+        return k1.Q_fn(q[:n1], params.get("p1", {})) @ k2.Q_fn(
+            q[n1:], params.get("p2", {})
+        )
+
+    reparam_fn = None
+    if k1.reparam_fn is not None or k2.reparam_fn is not None:
+
+        def reparam_fn(q, qdot, params):
+            qa, qda = q[:n1], qdot[:n1]
+            qb, qdb = q[n1:], qdot[n1:]
+            if k1.reparam_fn is not None:
+                qa, qda = k1.reparam_fn(qa, qda, params.get("p1", {}))
+            if k2.reparam_fn is not None:
+                qb, qdb = k2.reparam_fn(qb, qdb, params.get("p2", {}))
+            return (
+                jnp.concatenate([qa, qb]),
+                jnp.concatenate([qda, qdb]),
+            )
+
+    return JointKernel(Q_fn, reparam_fn=reparam_fn)
+
+
+def composite_S_reference(jt1: JointType, jt2: JointType, q, params):
+    """The reference's hand-assembled composite subspace
+    S = [Ad(Q2^{-1}) S1, S2] (JointComposite.m:56-60) — used as the oracle
+    the derive_S-based composition is tested against."""
+    k1, k2 = KERNELS[jt1], KERNELS[jt2]
+    n1 = NDOF[jt1]
+    S1f = k1.S_fn if k1.S_fn is not None else derive_S(k1.Q_fn)
+    S2f = k2.S_fn if k2.S_fn is not None else derive_S(k2.Q_fn)
+    p1 = params.get("p1", {})
+    p2 = params.get("p2", {})
+    S1 = S1f(q[:n1], p1)
+    S2 = S2f(q[n1:], p2)
+    Q2 = k2.Q_fn(q[n1:], p2)
+    return jnp.concatenate([se3.Ad(se3.inv(Q2)) @ S1, S2], axis=-1)
+
+
 def derive_S(Q_fn: Callable) -> Callable:
     """Exact motion subspace from Q alone: S_k = unhat6(Q^{-1} dQ/dq_k)."""
 

@@ -269,6 +269,61 @@ class SceneBuilder:
         self.joints.append(spec)
         return len(self.joints) - 1
 
+    def joint_composite(
+        self,
+        jt1: JointType,
+        jt2: JointType,
+        parent: Optional[int],
+        body: int,
+        E_pj=None,
+        q=None,
+        qdot=None,
+        name="",
+        p1: Optional[Dict] = None,
+        p2: Optional[Dict] = None,
+    ) -> Tuple[int, int]:
+        """General two-joint composition (matlab/+redmax/JointComposite.m:38-72)
+        for ARBITRARY (type1, type2) pairs.
+
+        Desugars to joint1 owning a massless intermediate body at the
+        composite joint frame + joint2 (E_pj = I) owning `body` — exactly
+        Q = Q1 Q2 with S = [Ad(Q2^{-1}) S1, S2] (the identity derive_S
+        recovers; see joints.make_composite). The massless body contributes
+        nothing to Mm/gravity, and every DOF still moves the real child
+        mass, so Mr stays positive definite. q/qdot concatenate the
+        sub-joint coordinates; p1/p2 are the sub-joint param dicts (e.g.
+        {"axis": ...}). Returns the two joint indices (j1, j2).
+
+        The revolute∘prismatic instance the reference scenes use also exists
+        as the fused single-joint JointType.COMPOSITE_RP (one joint row, one
+        body row — cheaper; certificate-gated by mscene 19); this desugaring
+        is the fully general path.
+        """
+        assert body == len(self.joints), (
+            "create the composite's body immediately before joint_composite"
+        )
+        inter = _BodySpec(
+            density=0.0, inertia=np.zeros(6), E_ji=np.eye(4),
+            name=(name or "composite") + "_link",
+        )
+        self.bodies.insert(body, inter)
+        d1, d2 = NDOF[jt1], NDOF[jt2]
+        q = np.zeros(d1 + d2) if q is None else np.atleast_1d(
+            np.asarray(q, dtype=np.float64)
+        )
+        qdot = np.zeros(d1 + d2) if qdot is None else np.atleast_1d(
+            np.asarray(qdot, dtype=np.float64)
+        )
+        j1 = self.joint(
+            jt1, parent, body, E_pj=E_pj, q=q[:d1], qdot=qdot[:d1],
+            name=(name or "composite") + "_1", **(p1 or {})
+        )
+        j2 = self.joint(
+            jt2, j1, body + 1, E_pj=np.eye(4), q=q[d1:], qdot=qdot[d1:],
+            name=(name or "composite") + "_2", **(p2 or {})
+        )
+        return j1, j2
+
     def set_stiffness(self, j: int, k: float) -> None:
         self.joints[j].stiffness = k
 

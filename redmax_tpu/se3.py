@@ -16,6 +16,7 @@ are branchless (jnp.where over Taylor fallbacks) so everything is jit/vmap
 safe on TPU with static shapes.
 """
 
+import jax
 import jax.numpy as jnp
 
 # Small-angle threshold. The reference uses 1e-9 with exact branching
@@ -313,6 +314,69 @@ def mat_to_q(R):
     use2 = ((m11 > m22) & ~((m00 > m11) & (m00 > m22)) & ~(tr > 0))[..., None]
     q = jnp.where(use0, q0, jnp.where(use1, q1, jnp.where(use2, q2, q3)))
     return q
+
+
+def dq_to_mat(dq):
+    """Dual quaternion [..., 4, 2] (columns: real q0, dual qe) -> SE(3).
+
+    Reference: se3.dqToMat (matlab-diff/se3.m:238-247) after [Kavan et al.],
+    t = 2 qe q0* expanded componentwise; the real part is normalized first.
+    """
+    dq = jnp.asarray(dq)
+    q0 = dq[..., 0]
+    q0 = q0 / jnp.linalg.norm(q0, axis=-1, keepdims=True)
+    qe = dq[..., 1]
+    w0, x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2], q0[..., 3]
+    we, xe, ye, ze = qe[..., 0], qe[..., 1], qe[..., 2], qe[..., 3]
+    t = jnp.stack(
+        [
+            2.0 * (-we * x0 + xe * w0 - ye * z0 + ze * y0),
+            2.0 * (-we * y0 + xe * z0 + ye * w0 - ze * x0),
+            2.0 * (-we * z0 - xe * y0 + ye * x0 + ze * w0),
+        ],
+        axis=-1,
+    )
+    return make_E(q_to_mat(q0), t)
+
+
+def mat_to_dq(E):
+    """SE(3) -> dual quaternion [..., 4, 2] (columns: real, dual).
+
+    Reference: se3.matToDq (matlab-diff/se3.m:249-260): qe = 0.5 t q0 as a
+    quaternion product with the pure-vector translation on the left.
+    """
+    E = jnp.asarray(E)
+    t = E[..., :3, 3]
+    q0 = mat_to_q(E[..., :3, :3])
+    w0, x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2], q0[..., 3]
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    qe = jnp.stack(
+        [
+            -0.5 * (tx * x0 + ty * y0 + tz * z0),
+            0.5 * (tx * w0 + ty * z0 - tz * y0),
+            0.5 * (-tx * z0 + ty * w0 + tz * x0),
+            0.5 * (tx * y0 - ty * x0 + tz * w0),
+        ],
+        axis=-1,
+    )
+    return jnp.stack([q0, qe], axis=-1)
+
+
+def rand_E(key, batch_shape=(), dtype=jnp.float64):
+    """Random SE(3) transform(s): QR orthonormalization of a Gaussian 3x3
+    (Z-axis flipped to force det=+1) and a Gaussian translation.
+
+    Reference: se3.randE (matlab-diff/se3.m:355-363), used to randomize the
+    per-joint FD derivative tests (Joint.m:650-784). JAX-idiomatic: explicit
+    PRNG key, batchable.
+    """
+    kR, kt = jax.random.split(key)
+    A = jax.random.normal(kR, batch_shape + (3, 3), dtype)
+    Q, _ = jnp.linalg.qr(A)
+    det = jnp.linalg.det(Q)[..., None]
+    Q = Q.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
+    t = jax.random.normal(kt, batch_shape + (3,), dtype)
+    return make_E(Q, t)
 
 
 def inertia_cuboid(whd, density):

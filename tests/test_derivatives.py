@@ -185,3 +185,120 @@ def test_force_energy_consistency():
         _, f, _ = model.assemble(sc.topo, sc.params, q, qdot, sc.force_fns)
         g = jax.grad(V_of)(q)
         assert rel_err(f, -g) < 1e-6, f"scene {sid}: f != -dV/dq"
+
+
+def test_derivatives_at_random_frames():
+    """Joint.test runs its FD checks at RANDOM configurations built from
+    se3.randE (Joint.m:650-784). Same here: randomize every joint/body rest
+    frame with se3.rand_E and re-verify J, Jdot, and the K/D tensors by FD.
+    """
+    sc, q, qdot = _rand_scene_state()
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    N = sc.topo.njoints
+    params = dict(sc.params)
+    params["E0_pj"] = se3.rand_E(k1, (N,))
+    params["E0_ji"] = se3.rand_E(k2, (N,))
+
+    kin = model.forward_kinematics(sc.topo, params, q, qdot)
+    J, Jdot, phi = model.jacobians(sc.topo, params, kin, qdot)
+    h = 1e-7
+    kinp = model.forward_kinematics(sc.topo, params, q + h * qdot, qdot)
+    kinm = model.forward_kinematics(sc.topo, params, q - h * qdot, qdot)
+    Edot = (kinp.E_wi - kinm.E_wi) / (2 * h)
+    phib = se3.unhat6(se3.inv(kin.E_wi) @ Edot)
+    assert rel_err(phib, phi) < 1e-5
+
+    def Jat(qq):
+        k = model.forward_kinematics(sc.topo, params, qq, qdot)
+        return model.jacobians(sc.topo, params, k, qdot)[0]
+
+    Jdot_fd = (Jat(q + h * qdot) - Jat(q - h * qdot)) / (2 * h)
+    assert rel_err(Jdot_fd, Jdot) < 1e-5
+
+    M, f, dMdq, K, D = compute_values(sc.topo, params, q, qdot, sc.force_fns)
+    nr = sc.topo.nr
+    hf = 1e-6
+
+    def Mf(qq, qd):
+        Mx, fx, _ = model.assemble(sc.topo, params, qq, qd, sc.force_fns)
+        return np.asarray(Mx), np.asarray(fx)
+
+    for i in range(0, nr, max(1, nr // 4)):  # spot-check a spread of columns
+        dq = jnp.zeros(nr).at[i].set(hf)
+        Mp, fp = Mf(q + dq, qdot)
+        Mm_, fm_ = Mf(q - dq, qdot)
+        assert rel_err((Mp - Mm_) / (2 * hf), dMdq[:, :, i]) < 1e-5
+        assert rel_err((fp - fm_) / (2 * hf), K[:, i]) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "jt1,jt2,p1,p2",
+    [
+        (JointType.REVOLUTE, JointType.SPHERICAL,
+         {"axis": np.array([0.0, 1.0, 0.0])}, {}),
+        (JointType.PRISMATIC, JointType.UNIVERSAL,
+         {"axis": np.array([1.0, 0.0, 0.0])}, {}),
+        (JointType.REVOLUTE, JointType.PRISMATIC,
+         {"axis": np.array([0.0, 0.0, 1.0])},
+         {"axis": np.array([1.0, 0.0, 0.0])}),
+    ],
+    ids=["rev∘sph", "prism∘univ", "rev∘prism"],
+)
+def test_general_composite_S_Sdot(jt1, jt2, p1, p2):
+    """General JointComposite: derive_S of the composed Q must equal the
+    reference's hand-assembled S = [Ad(Q2^{-1}) S1, S2]
+    (JointComposite.m:56-60), and Sdot (jvp of S) must match FD."""
+    from redmax_tpu.joints import (
+        composite_S_reference, derive_S, make_composite,
+    )
+
+    kern = make_composite(jt1, jt2)
+    params = {"p1": {k: jnp.asarray(v) for k, v in p1.items()},
+              "p2": {k: jnp.asarray(v) for k, v in p2.items()}}
+    d = NDOF[jt1] + NDOF[jt2]
+    q = jnp.asarray(0.4 * RNG.normal(size=d))
+    qdot = jnp.asarray(RNG.normal(size=d))
+
+    S_fn = derive_S(kern.Q_fn)
+    S = S_fn(q, params)
+    S_ref = composite_S_reference(jt1, jt2, q, params)
+    assert rel_err(S, S_ref) < 1e-10
+
+    _, Sdot = jax.jvp(lambda qq: S_fn(qq, params), (q,), (qdot,))
+    h = 1e-6
+    Sdot_fd = (S_fn(q + h * qdot, params) - S_fn(q - h * qdot, params)) / (2 * h)
+    assert rel_err(Sdot, Sdot_fd) < 1e-6
+
+
+def test_scene_composite_desugar_matches_fused_rp():
+    """SceneBuilder.joint_composite (massless-intermediate desugaring) must
+    reproduce the fused COMPOSITE_RP joint's trajectory exactly."""
+    from redmax_tpu import integrators
+    from redmax_tpu.scene import SceneBuilder, transl
+    from redmax_tpu.types import State
+
+    def build(fused):
+        b = SceneBuilder(name="comp", h=1e-2, tEnd=0.1, grav=(0, 0, -980.0))
+        body = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+        if fused:
+            b.joint(JointType.COMPOSITE_RP, None, body,
+                    axis1=(0, 1, 0), axis2=(1, 0, 0),
+                    q=[0.3, 0.2], qdot=[0.5, -0.4])
+        else:
+            b.joint_composite(
+                JointType.REVOLUTE, JointType.PRISMATIC, None, body,
+                q=[0.3, 0.2], qdot=[0.5, -0.4],
+                p1={"axis": (0, 1, 0)}, p2={"axis": (1, 0, 0)},
+            )
+        return b.compile()
+
+    outs = []
+    for fused in (True, False):
+        sc = build(fused)
+        step = integrators.make_bdf1_step(sc.topo, sc.force_fns)
+        sim = integrators.make_simulate(step, 10)
+        final = jax.jit(sim)(sc.params, sc.state0)
+        outs.append((np.asarray(final.q), np.asarray(final.qdot)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-12)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-11)
