@@ -117,7 +117,15 @@ class NewtonConfig:
     # TaskBDF1.m:66 via Scene.saveHistory). With a structured H this adds a
     # second O(|x*-x0|) = O(h^2) relative bias term of the same class as the
     # structured truncation itself; the exact-residual VJP is untouched.
-    # Saves one full Hessian assembly + factorization per step in backward.
+    # Measured (tests/test_adjoint.py, scene 100 at tau~3e3): the reuse
+    # increment moves the gradient by <2%, on top of the ~8% bias the
+    # structured-H^T backward + unconverged chord residual already carry at
+    # that stiffness; with hessian="exact" and full fixed iterations the
+    # factored gradient is FD-tight (<2e-4). Saves one Hessian assembly +
+    # factorization per step in backward. Memory tradeoff: the VJP residuals
+    # keep the nr x nr factor live per step per lane until backward (vs
+    # recomputing H from (theta, x*)); for long horizons or nr ~ 32 the
+    # recompute path (adjoint_reuse_factor=False) has lower peak memory.
     adjoint_reuse_factor: bool = True
 
 
@@ -489,23 +497,6 @@ def make_bdf2_step(
     solve_T = _make_solve_T(cfg)
     fac_parts = _factored_adjoint_parts(cfg)
 
-    def _solve(res_theta_fn, hess_fn, theta, x0, _cache={}):
-        if differentiable and fac_parts is not None:
-            make_nf, solve_T_fac = fac_parts
-            # one newton_factored closure per (res, hess) pair, built lazily
-            # and cached so repeated scan steps share the same custom-VJP
-            # nondiff identity.
-            key = id(res_theta_fn)
-            if key not in _cache:
-                _cache[key] = make_nf(res_theta_fn, hess_fn)
-            return implicit_solve_factored(
-                res_theta_fn, _cache[key], solve_T_fac, theta, x0
-            )
-        if differentiable:
-            return implicit_solve(res_theta_fn, newton_fn, hess_fn, solve_T, theta, x0)
-        jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
-        return newton(lambda x: res_theta_fn(theta, x), x0, cfg, jac_fn=jac)[0]
-
     def _res_a(theta, qa):
         params, q0, qdot0, aux = theta
         return residual_sdirk2a(topo, force_fns, params, qa, q0, qdot0, aux)
@@ -518,14 +509,32 @@ def make_bdf2_step(
         params, q0, qdot0, q1, qdot1, aux = theta
         return residual_bdf2(topo, force_fns, params, q2, q0, qdot0, q1, qdot1, aux)
 
+    # One newton_factored closure per (res, hess) pair, built EAGERLY at make
+    # time (as make_bdf1_step does) so repeated scan steps share the same
+    # custom-VJP nondiff identity without caching by id(closure).
+    if fac_parts is not None:
+        make_nf, solve_T_fac = fac_parts
+        _nf = {"a": make_nf(_res_a, hess_a), "b": make_nf(_res_b, hess_b),
+               "2": make_nf(_res_2, hess_2)}
+
+    def _solve(res_theta_fn, hess_fn, nf_key, theta, x0):
+        if differentiable and fac_parts is not None:
+            return implicit_solve_factored(
+                res_theta_fn, _nf[nf_key], solve_T_fac, theta, x0
+            )
+        if differentiable:
+            return implicit_solve(res_theta_fn, newton_fn, hess_fn, solve_T, theta, x0)
+        jac = (lambda x: hess_fn(theta, x)) if hess_fn else None
+        return newton(lambda x: res_theta_fn(theta, x), x0, cfg, jac_fn=jac)[0]
+
     def sdirk_step(params: Dict, s: Bdf2State) -> Bdf2State:
         q0, qdot0, aux = s.q, s.qdot, s.aux
         h = params["h"]
         a = SDIRK_ALPHA
-        qa = _solve(_res_a, hess_a, (params, q0, qdot0, aux), q0 + a * h * qdot0)
+        qa = _solve(_res_a, hess_a, "a", (params, q0, qdot0, aux), q0 + a * h * qdot0)
         qdota = (qa - q0) / (a * h)
         q1 = _solve(
-            _res_b, hess_b, (params, q0, qdot0, qdota, aux),
+            _res_b, hess_b, "b", (params, q0, qdot0, qdota, aux),
             qa + (1 - a) * h * qdota,
         )
         qdot1 = (q1 - q0 - (1 - a) * h * qdota) / (a * h)
@@ -540,7 +549,7 @@ def make_bdf2_step(
         guess = q1 + h * qdot1
         if cfg.predictor == "quadratic":
             guess = guess + 0.5 * h * (qdot1 - qdot0)
-        q2 = _solve(_res_2, hess_2, (params, q0, qdot0, q1, qdot1, aux), guess)
+        q2 = _solve(_res_2, hess_2, "2", (params, q0, qdot0, q1, qdot1, aux), guess)
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
         return Bdf2State(
             q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qdot1, k=s.k + 1, aux=aux
@@ -580,6 +589,156 @@ def bdf2_init(state: State) -> Bdf2State:
         k=jnp.zeros((), dtype=jnp.int32),
         aux=state.aux,
     )
+
+
+def make_bdf2_step_batched(
+    topo: Topology,
+    force_fns: Tuple = (),
+    cfg: NewtonConfig = NewtonConfig(),
+    differentiable: bool = False,
+    use_pallas: bool = None,
+    interpret: bool = None,
+    kernel_impl: str = "pallas",
+):
+    """Batched BDF2 step over [B, nr] states — the TPU performance tier.
+
+    Routes the inner BDF2 chord solve through the fused Pallas kernel
+    (pallas_step.make_chord_bdf2: the batch is the tile) when the scene and
+    config qualify, filling the role of the reference's *used* performance
+    implementation (c++/PCG/src/Solver.cpp:567-875); falls back to jax.vmap
+    of make_bdf2_step otherwise. Semantics are identical to vmapping
+    make_bdf2_step up to f32 reassociation (tests/test_pallas_step.py).
+
+    Conventions: every Bdf2State leaf carries a leading batch dim (k may stay
+    scalar — lanes step in lock-step); params["tau"] may be [nr] (shared) or
+    [B, nr] (per-lane, the MPC case); all other params are shared.
+
+    differentiable=True wires the implicit-function custom VJP: the backward
+    transposed solve reuses the H^-1 the forward kernel already materialized
+    (TaskBDF1.m:66 factor reuse), and the residual VJP runs through the pure
+    JAX residual — the kernel itself is never differentiated.
+
+    use_pallas: None = auto (kernel when supported), False = force vmap
+    fallback, True = require the kernel (raises if unsupported).
+    interpret: forwarded to pallas_call (None = auto: interpret off-TPU).
+    Exposes .bootstrap/.inner like make_bdf2_step for make_simulate.
+    """
+    from redmax_tpu import pallas_step
+
+    qualifies = (
+        pallas_step.supports(topo, force_fns)
+        and cfg.fixed_iters > 0 and cfg.chord and not cfg.guarded
+        and cfg.hessian == "structured" and cfg.linsolve == "gj"
+    )
+    if use_pallas is None:
+        use_pallas = qualifies
+    elif use_pallas and not qualifies:
+        raise ValueError("scene/config not supported by the pallas fast path")
+
+    base = make_bdf2_step(topo, force_fns, cfg, differentiable=differentiable)
+
+    def _vmap_params(fn):
+        """vmap fn(params, s) over the batch dim of s (+ params['tau'] when
+        per-lane); the step counter k may be scalar (shared across lanes)."""
+
+        def run(params: Dict, s: Bdf2State):
+            ax = Bdf2State(
+                q=0, qdot=0, q_prev=0, qdot_prev=0,
+                k=None if s.k.ndim == 0 else 0,
+                aux=jax.tree_util.tree_map(lambda _: 0, s.aux),
+            )
+            tau = params["tau"]
+            if tau.ndim == 2:
+                return jax.vmap(
+                    lambda t, ss: fn({**params, "tau": t}, ss),
+                    in_axes=(0, ax), out_axes=ax,
+                )(tau, s)
+            return jax.vmap(lambda ss: fn(params, ss), in_axes=(ax,), out_axes=ax)(s)
+
+        return run
+
+    bootstrap = _vmap_params(base.bootstrap)
+
+    if not use_pallas:
+        step = _vmap_params(base)
+        step.bootstrap = bootstrap
+        step.inner = _vmap_params(base.inner)
+        return step
+
+    solve_k = pallas_step.make_chord_bdf2(
+        topo, cfg, interpret=interpret, impl=kernel_impl
+    )
+
+    def _res2b(theta, x):
+        """Batched BDF2 residual: theta = (params, q0, qd0, q1, qd1) with
+        [B, nr] state levels; x [B, nr]. Exact (pure JAX) — this is what the
+        adjoint differentiates, not the kernel."""
+        params, q0, qd0, q1, qd1 = theta
+        tau = params["tau"]
+
+        def one(taui, q0i, qd0i, q1i, qd1i, xi):
+            p = {**params, "tau": taui}
+            return residual_bdf2(topo, force_fns, p, xi, q0i, qd0i, q1i, qd1i)
+
+        if tau.ndim == 2:
+            return jax.vmap(one)(tau, q0, qd0, q1, qd1, x)
+        return jax.vmap(partial(one, tau))(q0, qd0, q1, qd1, x)
+
+    def _plain(theta, x0):
+        params, q0, qd0, q1, qd1 = theta
+        x, _ = solve_k(params, x0, q0, qd0, q1, qd1)
+        return x
+
+    if differentiable:
+        psolve = jax.custom_vjp(_plain)
+
+        def _pfwd(theta, x0):
+            params, q0, qd0, q1, qd1 = theta
+            x, Hinv = solve_k(params, x0, q0, qd0, q1, qd1)
+            return x, (theta, x, Hinv)
+
+        def _pbwd(saved, xbar):
+            theta, x, Hinv = saved
+            # z = H^-T xbar per lane, reusing the forward chord factor
+            # (implicit_solve_factored semantics; TaskBDF1.m:66).
+            z = jnp.einsum("bsr,bs->br", Hinv, xbar.astype(Hinv.dtype))
+            res_out, vjp_theta = jax.vjp(lambda th: _res2b(th, x), theta)
+            (thetabar,) = vjp_theta((-z).astype(res_out.dtype))
+            x0bar = jax.tree_util.tree_map(
+                lambda a: jnp.zeros_like(a), saved[0][1]
+            )
+            return (thetabar, x0bar)
+
+        psolve.defvjp(_pfwd, _pbwd)
+
+    def inner(params: Dict, s: Bdf2State) -> Bdf2State:
+        q0, qd0 = s.q_prev, s.qdot_prev
+        q1, qd1 = s.q, s.qdot
+        h = params["h"]
+        guess = q1 + h * qd1
+        if cfg.predictor == "quadratic":
+            guess = guess + 0.5 * h * (qd1 - qd0)
+        theta = (params, q0, qd0, q1, qd1)
+        q2 = (psolve if differentiable else _plain)(theta, guess)
+        q2 = q2.astype(q1.dtype)  # kernel is f32; keep the carry dtype stable
+        qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
+        # Supported joint types (fixed/revolute/prismatic) have no reparam.
+        return Bdf2State(
+            q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qd1, k=s.k + 1, aux=s.aux
+        )
+
+    def step(params: Dict, s: Bdf2State) -> Bdf2State:
+        # Lanes step in lock-step (k starts at 0 everywhere), so the
+        # bootstrap/inner split is a scalar cond, not a per-lane select.
+        return jax.lax.cond(
+            jnp.all(s.k == 0),
+            lambda: bootstrap(params, s),
+            lambda: inner(params, s),
+        )
+
+    step.bootstrap = bootstrap
+    step.inner = inner
+    return step
 
 
 def make_simulate(

@@ -103,6 +103,74 @@ def make_objective(
     return objective
 
 
+def make_rollout_batched(
+    topo: Topology,
+    force_fns: Tuple,
+    nsteps: int,
+    cfg: Optional[integrators.NewtonConfig] = None,
+    use_pallas: bool = None,
+    interpret: bool = None,
+    kernel_impl: str = "pallas",
+):
+    """(params, tau [B,nr] or [nr], state0 [B,...]) -> final batched State.
+
+    Explicitly-batched BDF2 rollout: the batch axis is visible at the step so
+    the fused Pallas chord kernel (pallas_step.py) can tile it; the vmapped
+    path (make_rollout + outer jax.vmap) cannot expose it. Gradients flow
+    through the factor-reusing custom VJP (integrators.make_bdf2_step_batched).
+    """
+    cfg = cfg or integrators.NewtonConfig()
+    step = integrators.make_bdf2_step_batched(
+        topo, force_fns, cfg, differentiable=True,
+        use_pallas=use_pallas, interpret=interpret, kernel_impl=kernel_impl,
+    )
+
+    def rollout(params: Dict, tau, state0: State):
+        params = dict(params)
+        params["tau"] = tau
+        sim = integrators.make_simulate(step, nsteps)
+        final = sim(params, integrators.bdf2_init(state0))
+        return State(q=final.q, qdot=final.qdot, aux=final.aux)
+
+    return rollout
+
+
+def make_objective_batched(
+    topo: Topology,
+    force_fns: Tuple,
+    task: PointPosTask,
+    xlocal,
+    nsteps: int,
+    cfg: Optional[integrators.NewtonConfig] = None,
+    use_pallas: bool = None,
+    interpret: bool = None,
+    kernel_impl: str = "pallas",
+):
+    """(params, P [B,nr], state0 [B,...], x_targets [B,3]) -> objectives [B].
+
+    Batched form of make_objective (same per-lane math: terminal point
+    position + regularization, TaskBDF1PointPos.m:67-107)."""
+    rollout = make_rollout_batched(
+        topo, force_fns, nsteps, cfg, use_pallas, interpret, kernel_impl
+    )
+    xl = jnp.asarray(xlocal)
+
+    def objective(params: Dict, P, state0: State, x_targets):
+        final = rollout(params, task.pscale * P, state0)
+
+        def tip(q, qdot, aux):
+            kin = forward_kinematics(topo, params, q, qdot, aux)
+            E = kin.E_wi[task.body]
+            return E[:3, :3] @ xl.astype(q.dtype) + E[:3, 3]
+
+        xw = jax.vmap(tip)(final.q, final.qdot, final.aux)
+        dx = xw - x_targets
+        return 0.5 * task.wp * jnp.sum(dx * dx, axis=-1) + \
+            0.5 * task.wreg * jnp.sum(P * P, axis=-1)
+
+    return objective
+
+
 class MpcResult(NamedTuple):
     p: Any          # optimized torque parameters
     objective: Any  # final objective value
@@ -166,6 +234,46 @@ def make_mpc_solver(
             body, (p0, opt.init(p0)), None, length=iters
         )
         return MpcResult(p=p, objective=vals[-1], grad_norm=gnorms[-1])
+
+    return solve
+
+
+def make_mpc_solver_batched(
+    objective_fn: Callable,
+    iters: int = 1,
+    lr: float = 1e-2,
+):
+    """Adam MPC solve over an explicitly-batched objective ([B] values).
+
+    Lanes are independent, so grad of the SUM is the per-lane gradient, and
+    Adam's elementwise moments on the [B, nr] tensor reproduce the vmapped
+    per-lane Adam trajectories exactly. A NaN (diverged) lane poisons only
+    its own rows of P — same isolation as the vmapped path.
+    """
+    import optax
+
+    def val_and_grad(params, P, s0, tgt):
+        def total(PP):
+            v = objective_fn(params, PP, s0, tgt)
+            return jnp.sum(v), v
+
+        (_, v), g = jax.value_and_grad(total, has_aux=True)(P)
+        return v, g
+
+    opt = optax.adam(lr)
+
+    def solve(params: Dict, P0, state0: State, x_targets) -> MpcResult:
+        def body(carry, _):
+            P, opt_state = carry
+            v, g = val_and_grad(params, P, state0, x_targets)
+            updates, opt_state = opt.update(g, opt_state, P)
+            P = optax.apply_updates(P, updates)
+            return (P, opt_state), (v, jnp.linalg.norm(g, axis=-1))
+
+        (P, _), (vals, gnorms) = jax.lax.scan(
+            body, (P0, opt.init(P0)), None, length=iters
+        )
+        return MpcResult(p=P, objective=vals[-1], grad_norm=gnorms[-1])
 
     return solve
 

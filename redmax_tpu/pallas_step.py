@@ -181,11 +181,19 @@ def local_force_blocks_closed(Ii, R, phi, bd, g):
 # ---------------------------------------------------------------------------
 
 
-def _build_kernel(topo: Topology, cfg, kind: str):
+def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES,
+                  xp=jnp):
     """Trace-time construction of the fused chord-solve kernel.
 
     Static data baked in: parent array, joint types, dof offsets, ancestor
-    mask. Returns kernel(refs...) closing over them.
+    mask. Returns kernel(refs...) closing over them. `lanes` is the shape of
+    one per-scalar lane block — (8, 128) under pallas; chord_bdf2_dense
+    evaluates the SAME kernel function on (B,) blocks for the CPU parity
+    gate (tests/test_pallas_step.py). `xp` is the array namespace: jnp under
+    pallas; PLAIN NUMPY for the parity oracle — the kernel body only uses
+    ops numpy spells identically, so the oracle executes the identical
+    computation eagerly in milliseconds with no XLA compile at all (the
+    unrolled ~20k-op graph takes minutes through the XLA CPU pipeline).
     """
     N = topo.njoints
     nr = topo.nr
@@ -264,7 +272,7 @@ def _build_kernel(topo: Topology, cfg, kind: str):
                 jt = jtypes[j]
                 if jt == JointType.REVOLUTE:
                     th = x[doffs[j]]
-                    c, s = jnp.cos(th), jnp.sin(th)
+                    c, s = xp.cos(th), xp.sin(th)
                     a = axes[j]
                     omc = 1.0 - c
                     R = [[c + omc * a[0] * a[0],
@@ -445,55 +453,154 @@ def _build_kernel(topo: Topology, cfg, kind: str):
         for it in range(fixed_iters):
             g = residual(x, pre=pre0 if it == 0 else None)
             gn2 = sum(gi * gi for gi in g)
-            gn = jnp.sqrt(gn2)
+            gn = xp.sqrt(gn2)
             if g0n is None:
                 g0n = gn
             gln = gn
             dx = [sum(Hinv[r][s] * g[s] for s in range(nr)) for r in range(nr)]
             if dx_clamp:
-                dxn = jnp.sqrt(sum(d * d for d in dx))
-                scale = jnp.minimum(1.0, dx_clamp / jnp.maximum(dxn, 1e-30))
+                dxn = xp.sqrt(sum(d * d for d in dx))
+                scale = xp.minimum(1.0, dx_clamp / xp.maximum(dxn, 1e-30))
                 dx = [d * scale for d in dx]
             x = [x[r] - dx[r] for r in range(nr)]
 
-        finite = jnp.isfinite(gln)
+        finite = xp.isfinite(gln)
         for r in range(nr):
-            finite = finite & jnp.isfinite(x[r])
+            finite = finite & xp.isfinite(x[r])
         diverged = ~finite
         if growth_reject:
             diverged = diverged | (gln > growth_reject * g0n)
         if tol_reject:
             diverged = diverged | (gln > tol_reject)
-        nan = jnp.full(LANES, jnp.nan, dtype=f32)
+        nan = xp.full(lanes, xp.nan, dtype=f32)
         for r in range(nr):
-            x_out_ref[r] = jnp.where(diverged, nan, jnp.broadcast_to(x[r], LANES).astype(f32))
+            x_out_ref[r] = xp.where(diverged, nan, xp.broadcast_to(x[r], lanes).astype(f32))
         for r in range(nr):
             for s in range(nr):
-                hinv_out_ref[r * nr + s] = jnp.broadcast_to(
-                    Hinv[r][s], LANES
+                hinv_out_ref[r * nr + s] = xp.broadcast_to(
+                    Hinv[r][s], lanes
                 ).astype(f32)
 
     return kernel
 
 
-def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None):
+def _prep_static(topo: Topology, params: Dict, dtype, xp=jnp):
+    """Shared param packing for the kernel: (axes [N,3], jsf [7,nr], bd [1,N],
+    gh [1,4]) in the layout both the pallas wrapper and the dense evaluator
+    feed the kernel."""
+    N, nr = topo.njoints, topo.nr
+    axes = xp.zeros((N, 3), dtype)
+    for jt, members in topo.type_groups().items():
+        jp = params.get("joint", {}).get(str(jt), {})
+        if "axis" in jp:
+            if xp is np:
+                axes[np.array(members)] = np.asarray(jp["axis"], dtype)
+            else:
+                axes = axes.at[np.array(members)].set(jp["axis"].astype(dtype))
+    jsf = xp.stack([
+        params["stiffness"], params["damping"], params["qrest"],
+        params["qlimL"], params["qlimU"], params["qlimK"],
+        params["qlimD"],
+    ]).astype(dtype)
+    bd = params.get("body_damping")
+    bd = (xp.zeros((1, N), dtype) if bd is None
+          else bd.reshape(1, N).astype(dtype))
+    gh = xp.concatenate(
+        [params["g"].reshape(3), params["h"].reshape(1)]
+    ).reshape(1, 4).astype(dtype)
+    return axes, jsf, bd, gh
+
+
+class _Ref:
+    """Read-only ref shim: lets chord_bdf2_dense drive the kernel function
+    with plain (jnp or numpy) arrays instead of pallas Refs."""
+
+    def __init__(self, a, xp):
+        self.a = xp.asarray(a)
+        self.dtype = self.a.dtype
+
+    def __getitem__(self, i):
+        return self.a[i]
+
+
+class _OutRef:
+    def __init__(self, shape, dtype, xp):
+        self.a = xp.zeros(shape, dtype)
+        self._np = xp is np
+
+    def __getitem__(self, i):
+        return self.a[i]
+
+    def __setitem__(self, i, v):
+        if self._np:
+            self.a[i] = v
+        else:
+            self.a = self.a.at[i].set(v)
+
+
+def chord_bdf2_dense(topo: Topology, cfg, params: Dict, x0, q0, qd0, q1, qd1,
+                     xp=np):
+    """Evaluate the EXACT kernel computation (same trace-time code path as
+    the pallas kernel — _build_kernel) on plain [B]-shaped lane vectors, with
+    no pallas plumbing. This is the oracle the parity tests diff the
+    hardware kernel against; it also pins the kernel's numerics to
+    reviewable array semantics.
+
+    xp=numpy (default) executes the whole unrolled computation eagerly in
+    numpy — milliseconds, no XLA. (Routing the same unrolled ~20k-op graph
+    through XLA CPU takes minutes to compile at default opt, and level-0
+    executables dispatch pathologically; see tests/test_pallas_step.py.)
+    xp=jnp is jit-able and is what make_chord_bdf2(impl="dense") wires.
+    """
+    N, nr = topo.njoints, topo.nr
+    dtype = xp.float32 if xp is not np else np.float32
+    B = x0.shape[0]
+    kernel = _build_kernel(topo, cfg, "bdf2", lanes=(B,), xp=xp)
+    if xp is np:
+        params = jax.tree_util.tree_map(np.asarray, dict(params))
+        x0, q0, qd0, q1, qd1 = (np.asarray(a) for a in (x0, q0, qd0, q1, qd1))
+    tau = params["tau"]
+    if tau.ndim == 1:
+        tau = xp.broadcast_to(tau, (B, nr))
+    axes, jsf, bd, gh = _prep_static(topo, params, dtype, xp=xp)
+    lane = lambda a: _Ref(xp.ascontiguousarray(a.astype(dtype).T)
+                          if xp is np else a.astype(dtype).T, xp)
+    out_x = _OutRef((nr, B), dtype, xp)
+    out_h = _OutRef((nr * nr, B), dtype, xp)
+    kernel(
+        lane(x0), lane(q0), lane(qd0), lane(q1), lane(qd1), lane(tau),
+        _Ref(params["E0_pj"].astype(dtype), xp),
+        _Ref(params["E0_ji"].astype(dtype), xp),
+        _Ref(params["I_i"].astype(dtype), xp), _Ref(axes, xp), _Ref(jsf, xp),
+        _Ref(bd, xp), _Ref(gh, xp), out_x, out_h,
+    )
+    x = out_x.a.T
+    Hinv = out_h.a.reshape(nr, nr, B).transpose(2, 0, 1)
+    return x, Hinv
+
+
+def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
+                    impl: str = "pallas"):
     """Batched fused BDF2 chord solve.
 
     Returns solve(params, x0, q0, qd0, q1, qd1) -> (x [B,nr], Hinv [B,nr,nr])
     with all state args [B,nr]; params["tau"] may be [B,nr] or [nr].
     B must be a multiple of 1024 (the wrapper pads and slices otherwise).
+
+    impl: "pallas" (the TPU kernel; interpret optionally forces interpreter
+    mode) or "dense" (chord_bdf2_dense with xp=jnp — the SAME kernel code on
+    [B] lane vectors, no pallas).
     """
     assert supports(topo, ()), "scene not supported by the pallas fast path"
     assert cfg.fixed_iters > 0 and cfg.chord and not cfg.guarded, (
         "pallas path implements the fixed-iteration unguarded chord solve"
     )
+    if impl == "dense":
+        return partial(chord_bdf2_dense, topo, cfg, xp=jnp)
     N, nr = topo.njoints, topo.nr
     kernel = _build_kernel(topo, cfg, "bdf2")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    # static per-joint axis table (zeros for FIXED)
-    members_by_type = topo.type_groups()
 
     def solve(params: Dict, x0, q0, qd0, q1, qd1):
         dtype = jnp.float32
@@ -505,24 +612,7 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None):
         if tau.ndim == 1:
             tau = jnp.broadcast_to(tau, (B, nr))
 
-        axes = jnp.zeros((N, 3), dtype)
-        for jt, members in members_by_type.items():
-            jp = params.get("joint", {}).get(str(jt), {})
-            if "axis" in jp:
-                axes = axes.at[np.array(members)].set(
-                    jp["axis"].astype(dtype)
-                )
-        jsf = jnp.stack([
-            params["stiffness"], params["damping"], params["qrest"],
-            params["qlimL"], params["qlimU"], params["qlimK"],
-            params["qlimD"],
-        ]).astype(dtype)
-        bd = params.get("body_damping")
-        bd = (jnp.zeros((1, N), dtype) if bd is None
-              else bd.reshape(1, N).astype(dtype))
-        gh = jnp.concatenate(
-            [params["g"].reshape(3), params["h"].reshape(1)]
-        ).reshape(1, 4).astype(dtype)
+        axes, jsf, bd, gh = _prep_static(topo, params, dtype)
 
         def to_tiles(a):  # [B,nr] -> [nr, G*8, 128]
             a = a.astype(dtype)
@@ -559,6 +649,13 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None):
                 jax.ShapeDtypeStruct((nr, G * LANES[0], LANES[1]), dtype),
                 jax.ShapeDtypeStruct((nr * nr, G * LANES[0], LANES[1]), dtype),
             ],
+            # The live set (J/Jd pair blocks + H^-1 + GJ working rows) sits
+            # near the default 16MB scoped-VMEM budget at nr=12 and the exact
+            # footprint depends on the surrounding program's scheduling —
+            # raise the Mosaic budget well clear of it (v5e has 128MB VMEM).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             to_tiles(x0), to_tiles(q0), to_tiles(qd0), to_tiles(q1),

@@ -1,0 +1,308 @@
+"""Parity gate for the fused Pallas BDF2 chord kernel (pallas_step.py).
+
+Strategy: the pallas kernel and pallas_step.chord_bdf2_dense evaluate the
+SAME kernel function (_build_kernel) — pallas feeds it (8,128) jnp lane
+blocks, the oracle here feeds it plain NUMPY [B] vectors (xp=np), so the
+identical unrolled computation executes eagerly in milliseconds with no XLA
+involvement. (Routing the ~20k-op unrolled graph through the XLA CPU
+pipeline is pathological: default-opt compiles exceed 400s and level-0
+executables dispatch for minutes; interpret-mode pallas is worse.)
+
+Gated here, all against the vmapped JAX reference path
+newton(fixed_iters, chord=True, hessian="structured", linsolve="gj"):
+  * the closed-form per-body K/D blocks vs jacfwd;
+  * one fused solve (solution AND materialized H^-1 chord factor) at the
+    production config, on a revolute chain and a mixed
+    revolute/prismatic/fixed scene;
+  * a multi-step batched BDF2 rollout (numpy-oracle stepping vs
+    make_bdf2_step_batched's vmap fallback);
+  * divergence poisoning masks (growth_reject / NaN lanes);
+  * the production custom-VJP backward (factor-reusing _pbwd in
+    make_bdf2_step_batched) vs the fallback implicit_solve_factored VJP.
+
+The pallas PLUMBING (BlockSpecs, lane layout, grid) is exercised on the
+real TPU by bench.py / benchmarks/pallas_ablation.py, where the hardware
+kernel is additionally measured against an f64 oracle (max |dx| ~ 1e-7 at
+B=256 on the 12-link chain — tighter than the vmapped f32 XLA path itself,
+whose MXU contractions round at bf16 input precision).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from redmax_tpu import integrators, model, pallas_step
+from redmax_tpu.integrators import Bdf2State, NewtonConfig
+from redmax_tpu.scene import SceneBuilder
+from redmax_tpu.scenes import scene_chain
+from redmax_tpu.types import JointType, State
+
+CFG = NewtonConfig(
+    fixed_iters=3, predictor="quadratic", chord=True,
+    hessian="structured", linsolve="gj",
+)
+
+
+def _mixed_scene():
+    """revolute + prismatic + fixed chain — covers all supported types."""
+
+    def transl(p):
+        E = np.eye(4)
+        E[:3, 3] = p
+        return E
+
+    b = SceneBuilder(name="mix", h=1e-2, tEnd=0.1, grav=(0.0, 0.0, -980.0))
+    b0 = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+    b.joint(JointType.REVOLUTE, None, b0, E_pj=np.eye(4), axis=(0, 1, 0))
+    b1 = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+    b.joint(JointType.PRISMATIC, 0, b1, E_pj=transl([1.0, 0, 0]),
+            axis=(1, 0, 0))
+    b2 = b.body_cuboid(1.0, (0.5, 0.1, 0.1), E_ji=transl([0.25, 0, 0]))
+    b.joint(JointType.FIXED, 1, b2, E_pj=transl([1.0, 0, 0]))
+    b3 = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+    j = b.joint(JointType.REVOLUTE, 2, b3, E_pj=transl([0.5, 0, 0]),
+                axis=(0, 0, 1))
+    b.set_damping(j, 0.5)
+    b.set_stiffness(j, 10.0)
+    return b.compile(dtype=jnp.float32)
+
+
+def _rand_states(sc, B, seed=1):
+    rng = np.random.default_rng(seed)
+    nr = sc.topo.nr
+    f32 = jnp.float32
+    q1 = jnp.asarray(0.3 * rng.normal(size=(B, nr)), f32)
+    qd1 = jnp.asarray(rng.normal(size=(B, nr)), f32)
+    q0 = q1 - 0.01 * qd1
+    qd0 = qd1 + jnp.asarray(0.05 * rng.normal(size=(B, nr)), f32)
+    x0 = q1 + 0.01 * qd1
+    return x0, q0, qd0, q1, qd1
+
+
+def _jax_chord_solve(sc, cfg, params, x0, q0, qd0, q1, qd1):
+    """Reference: vmapped newton(fixed_iters, chord, structured, gj), also
+    returning the materialized H^-1 chord factor."""
+    hess = integrators._hess_bdf2(sc.topo, ())
+
+    def one(tau_i, x0i, q0i, qd0i, q1i, qd1i):
+        p = {**params, "tau": tau_i}
+        theta = (p, q0i, qd0i, q1i, qd1i, {})
+        res = lambda x: integrators.residual_bdf2(
+            sc.topo, (), p, x, q0i, qd0i, q1i, qd1i, {}
+        )
+        x, info = integrators.newton(
+            res, x0i, cfg, jac_fn=lambda x: hess(theta, x)
+        )
+        return x, info["factor"]
+
+    tau = params["tau"]
+    tau_b = tau if tau.ndim == 2 else jnp.broadcast_to(tau, x0.shape)
+    return jax.vmap(one)(tau_b, x0, q0, qd0, q1, qd1)
+
+
+def _np_inner_step(sc, cfg, params, s: Bdf2State) -> Bdf2State:
+    """The pallas inner BDF2 step with the solve replaced by the NUMPY
+    oracle — mirrors integrators.make_bdf2_step_batched's inner()."""
+    h = float(np.asarray(params["h"]))
+    q0, qd0 = np.asarray(s.q_prev), np.asarray(s.qdot_prev)
+    q1, qd1 = np.asarray(s.q), np.asarray(s.qdot)
+    guess = q1 + h * qd1
+    if cfg.predictor == "quadratic":
+        guess = guess + 0.5 * h * (qd1 - qd0)
+    q2, _ = pallas_step.chord_bdf2_dense(
+        sc.topo, cfg, params, guess, q0, qd0, q1, qd1, xp=np
+    )
+    q2 = q2.astype(np.float32)
+    qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
+    return Bdf2State(q=jnp.asarray(q2), qdot=jnp.asarray(qdot2),
+                     q_prev=s.q, qdot_prev=s.qdot, k=s.k + 1, aux=s.aux)
+
+
+def test_closed_form_blocks_match_jacfwd():
+    """local_force_blocks_closed == jacfwd blocks of model.local_force_blocks."""
+    sc = scene_chain(nlinks=3).compile(dtype=jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if hasattr(a, "astype") else a, sc.params
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(0.4 * rng.normal(size=sc.topo.nr))
+    qdot = jnp.asarray(rng.normal(size=sc.topo.nr))
+    kin = model.forward_kinematics(sc.topo, params, q, qdot, {})
+    J, _, phi = model.jacobians(sc.topo, params, kin, qdot)
+    K_ref, D_ref = model.local_force_blocks(sc.topo, params, kin, phi)
+
+    g = np.asarray(params["g"])
+    for i in range(sc.topo.njoints):
+        R = np.asarray(kin.E_wi[i, :3, :3])
+        Ii = np.asarray(params["I_i"][i])
+        ph = [float(x) for x in np.asarray(phi[i])]
+        bd = float(np.asarray(params["body_damping"])[i])
+        Rl = [[R[a, b] for b in range(3)] for a in range(3)]
+        K, D = pallas_step.local_force_blocks_closed(Ii, Rl, ph, bd, list(g))
+        np.testing.assert_allclose(np.array(K), np.asarray(K_ref[i]), atol=1e-10)
+        np.testing.assert_allclose(np.array(D), np.asarray(D_ref[i]), atol=1e-10)
+
+
+@pytest.mark.parametrize("scene", ["chain", "mixed"])
+def test_kernel_math_matches_chord_solve(scene):
+    sc = (scene_chain(nlinks=4).compile(dtype=jnp.float32)
+          if scene == "chain" else _mixed_scene())
+    B = 8
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B)
+
+    x_np, hinv_np = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, sc.params, x0, q0, qd0, q1, qd1, xp=np
+    )
+    x_ref, hinv_ref = jax.jit(
+        lambda a, b, c, d, e: _jax_chord_solve(
+            sc, CFG, sc.params, a, b, c, d, e
+        )
+    )(x0, q0, qd0, q1, qd1)
+
+    assert bool(jnp.all(jnp.isfinite(x_ref))), "reference path diverged"
+    np.testing.assert_allclose(
+        np.asarray(x_np), np.asarray(x_ref), rtol=0, atol=5e-6
+    )
+    scale = float(jnp.max(jnp.abs(hinv_ref)))
+    np.testing.assert_allclose(
+        np.asarray(hinv_np), np.asarray(hinv_ref), atol=2e-5 * scale
+    )
+
+
+def test_batched_rollout_matches_vmap_fallback():
+    """Numpy-oracle stepping of the pallas inner step == the vmap fallback
+    of make_bdf2_step_batched over a short rollout (bootstrap shared)."""
+    sc = scene_chain(nlinks=3).compile(dtype=jnp.float32)
+    B, nsteps = 4, 6
+    rng = np.random.default_rng(0)
+    s0 = State(
+        q=jnp.asarray(0.3 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        qdot=jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        aux={},
+    )
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, use_pallas=False
+    )
+    sim = integrators.make_simulate(step, nsteps)
+    ref = jax.jit(sim)(sc.params, integrators.bdf2_init(s0))
+    assert bool(jnp.all(jnp.isfinite(ref.q)))
+
+    s = step.bootstrap(sc.params, integrators.bdf2_init(s0))
+    for _ in range(nsteps - 1):
+        s = _np_inner_step(sc, CFG, sc.params, s)
+    np.testing.assert_allclose(np.asarray(s.q), np.asarray(ref.q), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(s.qdot), np.asarray(ref.qdot), atol=5e-3
+    )
+
+
+def test_divergence_poisoning_matches():
+    """A lane driven to divergence (absurd initial velocity) is NaN-poisoned
+    identically by the numpy-oracle kernel path and the vmap fallback."""
+    sc = scene_chain(nlinks=3).compile(dtype=jnp.float32)
+    B, nsteps = 4, 6
+    rng = np.random.default_rng(2)
+    qd = rng.normal(size=(B, sc.topo.nr))
+    qd[0] = 1e6
+    s0 = State(
+        q=jnp.asarray(0.3 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        qdot=jnp.asarray(qd, jnp.float32),
+        aux={},
+    )
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, use_pallas=False
+    )
+    sim = integrators.make_simulate(step, nsteps)
+    ref = jax.jit(sim)(sc.params, integrators.bdf2_init(s0))
+    mask_ref = np.all(np.isfinite(np.asarray(ref.q)), axis=-1)
+    assert not mask_ref[0] and mask_ref[1:].all(), mask_ref
+
+    s = step.bootstrap(sc.params, integrators.bdf2_init(s0))
+    for _ in range(nsteps - 1):
+        s = _np_inner_step(sc, CFG, sc.params, s)
+    mask_np = np.all(np.isfinite(np.asarray(s.q)), axis=-1)
+    np.testing.assert_array_equal(mask_np, mask_ref)
+
+
+def test_custom_vjp_backward_matches_fallback():
+    """The production factor-reusing backward (_pbwd: z = H^-T xbar from the
+    kernel's materialized H^-1, residual VJP through the pure-JAX residual)
+    == the fallback implicit_solve_factored VJP, for one inner BDF2 step.
+
+    Checks the cotangents of tau (the MPC gradient path) and of every state
+    level. Forward values come from the numpy oracle for the pallas side.
+    """
+    sc = scene_chain(nlinks=3).compile(dtype=jnp.float32)
+    B = 4
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=5)
+    rng = np.random.default_rng(9)
+    tau = jnp.asarray(0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    params = {**sc.params, "tau": tau}
+    xbar = jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+
+    def inner_q(step, tau_b, q0b, qd0b, q1b, qd1b):
+        s = Bdf2State(q=q1b, qdot=qd1b, q_prev=q0b, qdot_prev=qd0b,
+                      k=jnp.ones((), jnp.int32), aux={})
+        return step.inner({**sc.params, "tau": tau_b}, s).q
+
+    # Fallback path (implicit_solve_factored custom VJP).
+    step_f = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, differentiable=True, use_pallas=False
+    )
+    out_f, vjp_f = jax.vjp(
+        lambda *a: inner_q(step_f, *a), tau, q0, qd0, q1, qd1
+    )
+    cots_f = vjp_f(xbar)
+
+    # Production pallas backward, replicated with the numpy-oracle forward:
+    # x* and H^-1 from the kernel computation, z = H^-T xbar, cotangents by
+    # one VJP of the batched exact residual (what _pbwd does).
+    h = sc.params["h"]
+    guess = q1 + h * qd1 + 0.5 * h * (qd1 - qd0)
+    xstar, hinv = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, params, guess, q0, qd0, q1, qd1, xp=np
+    )
+    xstar = jnp.asarray(xstar)
+    z = jnp.einsum("bsr,bs->br", jnp.asarray(hinv), xbar)
+
+    def res_b(tau_b, q0b, qd0b, q1b, qd1b, x):
+        def one(ti, a, b, c, d, xi):
+            p = {**sc.params, "tau": ti}
+            return integrators.residual_bdf2(
+                sc.topo, (), p, xi, a, b, c, d, {}
+            )
+
+        return jax.vmap(one)(tau_b, q0b, qd0b, q1b, qd1b, x)
+
+    _, vjp_res = jax.vjp(
+        lambda t, a, b, c, d: res_b(t, a, b, c, d, xstar), tau, q0, qd0, q1, qd1
+    )
+    cots_p = vjp_res(-z)
+
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(xstar), atol=5e-6
+    )
+    names = ["tau", "q0", "qd0", "q1", "qd1"]
+    for name, cf, cp in zip(names, cots_f, cots_p):
+        cf, cp = np.asarray(cf, np.float64), np.asarray(cp, np.float64)
+        scale = max(np.abs(cf).max(), 1e-9)
+        # q1/qd1 also feed the predictor in the real step, but the solution
+        # is predictor-independent (implicit function), so both VJPs treat
+        # x0 as non-differentiable — comparable term for term.
+        np.testing.assert_allclose(cp, cf, atol=2e-4 * scale, err_msg=name)
+
+
+def test_unsupported_scene_falls_back():
+    """A scene with a spherical joint must auto-route to the vmap fallback,
+    and use_pallas=True must raise."""
+    from redmax_tpu.scenes import build_scene
+
+    sc = build_scene(7)  # spherical-joint chain (scenesRedMax.m scene 7)
+    assert not pallas_step.supports(sc.topo, sc.force_fns)
+    step = integrators.make_bdf2_step_batched(sc.topo, sc.force_fns, CFG)
+    assert step.inner is not None  # fallback built fine
+    with pytest.raises(ValueError):
+        integrators.make_bdf2_step_batched(
+            sc.topo, sc.force_fns, CFG, use_pallas=True
+        )
