@@ -173,8 +173,12 @@ def make_ode45(
     """
     A = jnp.asarray(_A)
     B5 = jnp.asarray(_B5)
-    B4 = jnp.asarray(_B4)
     C = jnp.asarray(_C)
+    # ode45's exact E = B5 - B4 fractions (the 4th-order embedded difference).
+    E = jnp.asarray(
+        np.array([71 / 57600, 0.0, -71 / 16695, 71 / 1920,
+                  -17253 / 339200, 22 / 525, -1 / 40])
+    )
     pow_ = 0.2
     threshold = atol / rtol
 
@@ -209,9 +213,13 @@ def make_ode45(
                 k.append(deriv(params, t + C[i] * h, yi, aux))
             y5 = y + h * sum(B5[j] * k[j] for j in range(6))
             k.append(deriv(params, t + h, y5, aux))          # FSAL stage
-            y4 = y + h * sum(B4[j] * k[j] for j in range(7))
+            # MATLAB forms the error DIRECTLY from the stage combination
+            # err = absh*||(f*E)/sc||_inf with E = B5-B4 exact — NOT from
+            # y5-y4, whose subtraction cancels ~7 digits and perturbs the
+            # ulp-sensitive accept/reject sequence the certificates record.
+            errvec = h * sum(E[j] * k[j] for j in range(7))
             sc = jnp.maximum(jnp.maximum(jnp.abs(y), jnp.abs(y5)), threshold)
-            err = jnp.max(jnp.abs(y5 - y4) / sc)
+            err = jnp.max(jnp.abs(errvec) / sc)
             accept = err <= rtol
 
             # Rejected: shrink (first failure vs later failures).

@@ -84,6 +84,40 @@ def sharded_batch(
     return run
 
 
+def sharded_mpc_batched(solve_batched: Callable, mesh: Mesh):
+    """Shard an EXPLICITLY-batched MPC solve (mpc.make_mpc_solver_batched)
+    over the ("rollout", "model") mesh.
+
+    The global batch axis splits across both mesh axes; each shard runs the
+    batched solve — on TPU hardware that is the fused Pallas chord kernel
+    tiling its local lanes (pallas_step.py) — and the fleet objective is the
+    weighted psum of finite lanes (identical to the unsharded masked mean).
+    run(params, P0 [B,np], state0 [B,...], targets [B,3]) -> (MpcResult, mean).
+    """
+    batch_spec = P(("rollout", "model"))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec, batch_spec),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    def run(params: Dict, P0, state0, targets):
+        res = solve_batched(params, P0, state0, targets)
+        finite = jnp.isfinite(res.objective)
+        obj_sum = jnp.sum(jnp.where(finite, res.objective, 0.0))
+        n_ok = jnp.sum(finite).astype(obj_sum.dtype)
+        obj_sum = jax.lax.psum(jax.lax.psum(obj_sum, "rollout"), "model")
+        n_ok = jax.lax.psum(jax.lax.psum(n_ok, "rollout"), "model")
+        mean_obj = jnp.where(
+            n_ok > 0, obj_sum / jnp.maximum(n_ok, 1.0), jnp.inf
+        )
+        return res, mean_obj
+
+    return run
+
+
 def shard_batch_arrays(mesh: Mesh, tree):
     """Device-put a batch pytree with the leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(("rollout", "model")))

@@ -184,6 +184,7 @@ def make_euler_pcg_constrained_solver(
     constraint_fns: Tuple = (),
     tol: float = 1e-6,
     maxit: int = 1000,
+    mesh=None,
 ):
     """Loop-closure (equality) constraints on the matrix-free Euler solve via
     the Schur complement (Solver::solvePCG constrained paths,
@@ -204,9 +205,25 @@ def make_euler_pcg_constrained_solver(
     (frtilde - G^T lam) is algebraically the linear combination
     qdot1_unc - MiGt lam already solved for, so it is not re-run.
 
+    mesh: optional ("rollout", "model") jax.sharding.Mesh — the per-row CG
+    fan-out then SHARDS over the "model" axis (rows padded with zero RHS,
+    which the CG resolves at init for free), putting real within-scene work
+    on the model axis: the device-parallel form of the reference's OpenMP
+    row loop. Results are bit-identical to the unsharded solve (each row's
+    CG is an independent program; tests/test_pcg.py asserts equality).
+
     Returns solve(params, q, qdot, aux) -> (qdot1, lam, PcgResult [me+1]).
     """
     from redmax_tpu.constraints import assemble_constraints
+
+    if mesh is not None:
+        from functools import partial as _partial
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
 
     def solve(params: Dict, q, qdot, aux=None):
         dtype = q.dtype
@@ -223,7 +240,26 @@ def make_euler_pcg_constrained_solver(
 
         # One batched CG over [frtilde; G^T columns] (me+1 lanes).
         B = jnp.concatenate([frt[None, :], Geq], axis=0)
-        res = jax.vmap(lambda b: pcg(lhs, b, minv, tol, maxit))(B)
+        if mesh is None:
+            res = jax.vmap(lambda b: pcg(lhs, b, minv, tol, maxit))(B)
+        else:
+            m = mesh.shape["model"]
+            rows = B.shape[0]
+            rp = ((rows + m - 1) // m) * m
+            Bp = jnp.concatenate(
+                [B, jnp.zeros((rp - rows, B.shape[1]), B.dtype)], axis=0
+            )
+
+            @_partial(
+                shard_map, mesh=mesh,
+                in_specs=(_P("model"),), out_specs=_P("model"),
+                check_vma=False,
+            )
+            def rows_cg(Bl):
+                return jax.vmap(lambda b: pcg(lhs, b, minv, tol, maxit))(Bl)
+
+            resp = rows_cg(Bp)
+            res = jax.tree_util.tree_map(lambda a: a[:rows], resp)
         qdot1_unc = res.x[0]
         MiGt = res.x[1:].T                      # [nr, me] = Mrtilde^{-1} G^T
 
@@ -241,6 +277,7 @@ def make_euler_pcg_step(
     constraint_fns: Tuple = (),
     tol: float = 1e-6,
     maxit: int = 1000,
+    mesh=None,
 ):
     """Full linearly-implicit Euler step through the PCG tier (the C++
     performance path's step loop, RigidBodyMain.cpp:412-431): velocity solve
@@ -261,7 +298,7 @@ def make_euler_pcg_step(
         )
     if eq_only:
         vel_solve = make_euler_pcg_constrained_solver(
-            topo, force_fns, eq_only, tol, maxit
+            topo, force_fns, eq_only, tol, maxit, mesh=mesh
         )
     else:
         unc = make_euler_pcg_solver(topo, force_fns, tol, maxit)

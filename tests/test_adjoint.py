@@ -82,3 +82,76 @@ def test_lbfgs_solver_reduces_objective():
     f0 = obj(sc.params, p, sc.state0, target)
     f1 = obj(sc.params, res.p, sc.state0, target)
     assert float(f1) < float(f0)
+
+
+def _fixed_iter_grad(cfg_kw, p, sc, task, target, nsteps=8):
+    from redmax_tpu import integrators
+
+    cfg = integrators.NewtonConfig(**cfg_kw)
+    obj = mpc.make_objective(
+        sc.topo, sc.force_fns, task, jnp.array([5.0, 0.0, 0.0]), nsteps,
+        "bdf2", cfg,
+    )
+    g = jax.grad(obj, argnums=1)(sc.params, p, sc.state0, target)
+    return obj, np.asarray(g)
+
+
+def test_adjoint_grad_fixed_iteration_configs_vs_fd():
+    """FD-vs-adjoint at the fixed-iteration configs (ADVICE r2: the factored
+    custom VJP had no FD coverage; test_adjoint_grad_vs_fd runs at
+    fixed_iters=0 where the factored path never engages).
+
+    Measured bias structure on scene 100 (stiff: tau ~ 3e3):
+      * exact Hessian + 4 full fixed iterations + factor reuse: FD-tight
+        (<2e-4 rel) — the factored VJP mathematics is exact.
+      * production chord+structured (fixed_iters=3): ~8% relative error vs
+        FD. The dominant term is the STRUCTURED truncation of H^T in the
+        backward solve plus the unconverged forward residual (the IFT-VJP
+        differentiates the exact solution map; 3 chord iterations leave
+        O(|g|) residual at this torque scale) — NOT the factor reuse:
+        disabling adjoint_reuse_factor moves the gradient by <2%.
+    The production bound below (rel < 0.15, cosine > 0.99 vs FD) is the
+    documented bias budget; a regression that breaks descent directions
+    fails it.
+    """
+    sc = build_scene(100)
+    task = mpc.PointPosTask(body=1, wp=1.0, wreg=1e-5, pscale=1e4)
+    p = jnp.asarray(0.3 * np.random.default_rng(11).normal(size=sc.topo.nr))
+    target = jnp.array([8.0, 0.0, 4.0])
+
+    def fd_of(obj):
+        h = 1e-6
+        out = []
+        for i in range(sc.topo.nr):
+            dp = jnp.zeros_like(p).at[i].set(h)
+            fp = obj(sc.params, p + dp, sc.state0, target)
+            fm = obj(sc.params, p - dp, sc.state0, target)
+            out.append((float(fp) - float(fm)) / (2 * h))
+        return np.asarray(out)
+
+    # exact Hessian, plain fixed iterations: FD-tight.
+    obj_e, g_e = _fixed_iter_grad(
+        dict(fixed_iters=4, chord=False, hessian="exact", linsolve="gj"),
+        p, sc, task, target,
+    )
+    fd_e = fd_of(obj_e)
+    assert np.all(np.isfinite(g_e))
+    np.testing.assert_allclose(g_e, fd_e, rtol=2e-4)
+
+    # production config: bounded bias, descent-preserving.
+    prod = dict(fixed_iters=3, predictor="quadratic", chord=True,
+                hessian="structured", linsolve="gj")
+    obj_p, g_p = _fixed_iter_grad(prod, p, sc, task, target)
+    fd_p = fd_of(obj_p)
+    rel = np.abs(g_p - fd_p) / np.maximum(np.abs(fd_p), 1e-3)
+    cos = float(g_p @ fd_p / (np.linalg.norm(g_p) * np.linalg.norm(fd_p)))
+    assert rel.max() < 0.15, rel
+    assert cos > 0.99, cos
+
+    # factor reuse adds only a small increment on top of the structured
+    # truncation (the reference reuses its forward LU the same way,
+    # TaskBDF1.m:66).
+    _, g_n = _fixed_iter_grad({**prod, "adjoint_reuse_factor": False},
+                              p, sc, task, target)
+    inc = np.linalg.norm(g_p - g_n) / np.linalg.norm(g_n)
+    assert inc < 0.02, inc

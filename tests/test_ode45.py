@@ -35,13 +35,22 @@ CERTS = {
     35: (167.0835245643339135, 167.0835245643319240), # 2D free joint
 }
 
-# Scene 21 (spline curve): the adaptive controller's accept/reject sequence
-# is ulp-sensitive near cell boundaries of the cyclic spline; dense and
-# recursive agree to 4e-6 but both sit 1.8e-2 from the MATLAB cert.
+# Scenes 19/21 sit a few e-2 from the MATLAB ode45 certificates. Divergence
+# audit (r3): (a) the error estimate now uses MATLAB's exact stage
+# combination E = B5-B4 (explicit.py — forming y5-y4 cancels ~7 digits) —
+# no movement; (b) the reference integrates ONE continuous span
+# (testRedMax.m:122-124: tspan = [t0 tEnd], no per-frame restart) — same
+# structure here; (c) our two INDEPENDENT dynamics paths (dense RedMax vs
+# recursive O(n)) agree with each other to 1e-9 on both scenes; (d) scene
+# 19's fixed-step euler certificate is EXACT, so the dynamics match the
+# reference — only the adaptive step SEQUENCE differs. H_end at RelTol 1e-4
+# records solver drift, and for these two scenes (cyclic-spline cell
+# boundaries in 21; the composite's fast slider oscillation in 19) the
+# accept/reject sequence is ulp-sensitive: sub-1e-16 association
+# differences in MATLAB's f*hB matrix products reorder an accept near the
+# tolerance boundary and the drift paths separate. 5e-2 bands, not bugs.
 LOOSE = {21: 5e-2, 19: 5e-2}
 CERTS[21] = (-18.5261468157405034, -18.5261468464450445)
-# Scene 19 (composite joint): euler cert is exact; the ode45 controller path
-# lands 3.3e-2 off (dense and recursive agree with each other to 1e-9).
 CERTS[19] = (-8.7962825142149086, -8.7962825142917609)
 
 

@@ -74,3 +74,38 @@ def test_pcg_step_trajectory_matches_dense():
     ft = sim_t(sc.params, sc.state0)
     assert float(jnp.abs(fd.q - ft.q).max()) < 1e-6
     assert float(jnp.abs(fd.qdot - ft.qdot).max()) < 1e-5
+
+
+def test_schur_rows_sharded_over_model_axis_bit_identical():
+    """The per-row CG fan-out sharded over the "model" mesh axis (the
+    device-parallel form of the reference's OpenMP row loop, Solver.cpp:714)
+    must return BIT-IDENTICAL results to the single-device solve: each row's
+    CG is an independent program and the Schur algebra is unchanged."""
+    import numpy as np
+
+    from redmax_tpu import parallel
+    from redmax_tpu.scenes_matlab import build_mscene
+
+    sc = build_mscene(15)  # slider-crank loop: 2 eq-M rows -> 3 CG RHS
+    mesh = parallel.make_mesh(8, model=2)
+    ref = pcg.make_euler_pcg_constrained_solver(
+        sc.topo, sc.force_fns, sc.constraint_fns, tol=1e-12
+    )
+    shd = pcg.make_euler_pcg_constrained_solver(
+        sc.topo, sc.force_fns, sc.constraint_fns, tol=1e-12, mesh=mesh
+    )
+    qdot_r, lam_r, res_r = ref(sc.params, sc.state0.q, sc.state0.qdot)
+    qdot_s, lam_s, res_s = shd(sc.params, sc.state0.q, sc.state0.qdot)
+    np.testing.assert_array_equal(np.asarray(qdot_s), np.asarray(qdot_r))
+    np.testing.assert_array_equal(np.asarray(lam_s), np.asarray(lam_r))
+    np.testing.assert_array_equal(np.asarray(res_s.x), np.asarray(res_r.x))
+    assert np.array_equal(np.asarray(res_s.iters), np.asarray(res_r.iters))
+
+    # and through the full step factory
+    step_r = pcg.make_euler_pcg_step(sc.topo, sc.force_fns, sc.constraint_fns,
+                                     tol=1e-12)
+    step_s = pcg.make_euler_pcg_step(sc.topo, sc.force_fns, sc.constraint_fns,
+                                     tol=1e-12, mesh=mesh)
+    s_r = step_r(sc.params, sc.state0)
+    s_s = step_s(sc.params, sc.state0)
+    np.testing.assert_array_equal(np.asarray(s_s.q), np.asarray(s_r.q))
