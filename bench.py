@@ -7,11 +7,12 @@ per step, TaskBDF1.m:66 semantics via custom VJP) + one Adam parameter
 update.
 
 The forward chord solve runs through the fused Pallas kernel
-(pallas_step.make_chord_bdf2 — batch-as-tile; measured ~80x faster than the
-vmapped XLA op-soup solve at B=1024, and ~4 digits MORE accurate: the
-kernel's lane-block arithmetic is true f32 while the XLA path's MXU
-contractions round at bf16 — see benchmarks/pallas_ablation.py). Set
-REDMAX_BENCH_PATH=vmap to measure the fallback instead.
+(pallas_step.make_chord_bdf2 — batch-as-tile): 2.7x end-to-end vs the same
+pipeline with the vmapped XLA op-soup solve (9359 vs 3417 solves/s,
+benchmarks/bench_ab.json), and ~4 digits MORE accurate — the kernel's
+lane-block arithmetic is true f32 while the XLA path's MXU contractions
+round at bf16 (benchmarks/pallas_ablation.py). Set REDMAX_BENCH_PATH=vmap
+to measure the fallback.
 
 Torque scale: p0 ~ N(0, 0.003^2), tau = 1e3*p0 ~ N(0, 3^2) — the largest
 scale at which the 12-link chain stays numerically convergent over the whole

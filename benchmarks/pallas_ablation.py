@@ -7,10 +7,14 @@ algorithm on CPU. Writes benchmarks/pallas_ablation.json.
 
 This is the evidence artifact for the VERDICT r2 item 1 decision: the fused
 batch-as-tile kernel is the production forward path because it is both much
-faster (the XLA path is utilization-bound: tiny trailing dims waste the
-(8,128) tile) and more accurate (the kernel's lane-block arithmetic is true
-f32 on the VPU; the XLA path's einsum contractions go through the MXU at
-bf16 input precision).
+faster END TO END (bench.py A/B on one v5e: 9359 solves/s with the kernel
+vs 3417 with the vmapped XLA step in the identical batched MPC pipeline —
+2.7x; the isolated single-solve micro-gap is smaller, ~1.4x, the rest comes
+from how the big scanned+differentiated program schedules around the fused
+kernel vs the op-soup step) and more accurate (the kernel's lane-block
+arithmetic is true f32 on the VPU; the XLA path's einsum contractions go
+through the MXU at bf16 input precision — ~4 digits worse vs an f64
+oracle).
 
 Usage: python benchmarks/pallas_ablation.py [--nlinks 12] [--batch 1024]
 """
@@ -28,6 +32,14 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Share bench.py's persistent compile cache so reruns skip the ~2 min of
+# TPU compiles.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_bench")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -55,13 +67,19 @@ def main():
     x0 = q1 + 0.01 * qd1
 
     def timed(f, *a):
+        """Median of per-rep (dispatch + block) timings — robust against
+        host-load artifacts (async-queue timing once measured the vmap path
+        at 4.8 ms while a concurrent TPU compile hammered the host; the
+        clean per-rep number is ~0.1 ms)."""
         out = f(*a)
         jax.block_until_ready(out[0])
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(args.reps):
+            t0 = time.perf_counter()
             out = f(*a)
-        jax.block_until_ready(out[0])
-        return out, (time.perf_counter() - t0) / args.reps
+            jax.block_until_ready(out[0])
+            ts.append(time.perf_counter() - t0)
+        return out, float(np.median(ts))
 
     solve_k = pallas_step.make_chord_bdf2(sc.topo, cfg)
     (x_pal, _), dt_pal = timed(jax.jit(solve_k), sc.params, x0, q0, qd0, q1, qd1)
@@ -77,22 +95,26 @@ def main():
             res, x0i, cfg, jac_fn=lambda x: hess(theta, x)
         )[0]
 
+    vm = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
     (x_ref,), dt_ref = timed(
-        lambda *a: (jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))(*a),),
-        sc.params, x0, q0, qd0, q1, qd1,
+        lambda *a: (vm(*a),), sc.params, x0, q0, qd0, q1, qd1,
     )
 
     # f64 oracle in a subprocess (x64 must be set before jax initializes).
     with tempfile.TemporaryDirectory() as td:
         np.savez(os.path.join(td, "io.npz"), x0=x0, q0=q0, qd0=qd0, q1=q1,
                  qd1=qd1)
+        cache = _cache
         code = f"""
 import sys, os
 sys.path.insert(0, {os.getcwd()!r})
 os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from redmax_tpu import integrators
 from redmax_tpu.integrators import NewtonConfig
 from redmax_tpu.scenes import scene_chain

@@ -61,6 +61,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     ap.add_argument("--per-device-batch", type=int, default=64)
+    ap.add_argument("--out", default=None, help="also write the JSON report here")
     args = ap.parse_args()
     avail = len(jax.devices())
     sizes = args.devices or [n for n in (1, 2, 4, 8) if n <= avail]
@@ -73,7 +74,14 @@ def main():
         rows.append({"devices": n, "batch": B, "time_s": round(t, 4),
                      "weak_scaling_eff": round(eff, 3)})
         print(f"devices={n}: B={B} t={t*1e3:.1f} ms eff={eff:.2%}")
-    print(json.dumps({"backend": jax.default_backend(), "rows": rows}))
+    report = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0]),
+              "mode": "weak scaling, per-device batch %d" % args.per_device_batch,
+              "rows": rows}
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,139 @@ class FrameExporter:
         return path
 
 
+_SPHERE_CACHE = None
+
+
+def _unit_sphere(nsub: int = 2):
+    """Unit icosphere (vertices, faces) by midpoint subdivision."""
+    global _SPHERE_CACHE
+    if _SPHERE_CACHE is not None:
+        return _SPHERE_CACHE
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    V = np.array(
+        [[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+         [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+         [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]],
+        dtype=np.float64,
+    )
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    F = np.array(
+        [[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+         [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+         [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+         [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+    )
+    for _ in range(nsub):
+        verts = list(V)
+        cache = {}
+        newF = []
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = verts[a] + verts[b]
+                verts.append(m / np.linalg.norm(m))
+                cache[key] = len(verts) - 1
+            return cache[key]
+
+        for a, b, c in F:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            newF += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        V = np.array(verts)
+        F = np.array(newF)
+    _SPHERE_CACHE = (V, F)
+    return _SPHERE_CACHE
+
+
+def _write_obj(path: str, V: np.ndarray, F: np.ndarray) -> None:
+    with open(path, "w") as fh:
+        for v in V:
+            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for f in F:
+            fh.write(f"f {f[0]+1} {f[1]+1} {f[2]+1}\n")
+
+
+def export_brender(scene, traj_q, out_dir: str, bodies=None,
+                   group: str = "scene") -> str:
+    """Write a Brender-compatible bundle the reference's Blender import
+    addon ingests directly (online/Brender/python/blender_import_obj_base.py).
+
+    Layout (mirrors RigidBodyMain::exportBrender, RigidBodyMain.cpp:747-840):
+
+        {"header": {"objs": [<abs obj paths>],
+                    "states": [{"obj": i, "name": n, "group": g}, ...]},
+         "body": [{"frame": k,
+                   "<name>": {"scale": [sx,sy,sz],
+                              "quat": [qx,qy,qz,qw],   # addon reads [3],[0],[1],[2]
+                              "location": [x,y,z]}, ...}, ...]}
+
+    Template meshes (unit cube / unit sphere) are written next to the JSON
+    and referenced by absolute path (the addon opens them verbatim); each
+    body's scale carries its cuboid sides or sphere radius per frame.
+
+    scene: CompiledScene; bodies: optional list of _BodySpec (SceneBuilder
+    .bodies) supplying names/sides/radius — unit cubes otherwise.
+    traj_q: [T, nr] recorded positions. Returns the JSON path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from redmax_tpu import model, se3
+
+    os.makedirs(out_dir, exist_ok=True)
+    cube_path = os.path.abspath(os.path.join(out_dir, "cube.obj"))
+    sphere_path = os.path.abspath(os.path.join(out_dir, "sphere.obj"))
+    _write_obj(cube_path, _CUBE_VERTS, _CUBE_FACES)
+    sV, sF = _unit_sphere()
+    _write_obj(sphere_path, sV, sF)
+
+    nb = scene.topo.njoints
+    names, states, scales = [], [], []
+    for i in range(nb):
+        bs = None if bodies is None or i >= len(bodies) else bodies[i]
+        name = (getattr(bs, "name", "") or f"body{i}") if bs else f"body{i}"
+        names.append(name)
+        radius = getattr(bs, "radius", None) if bs else None
+        sides = getattr(bs, "sides", None) if bs else None
+        if radius is not None:
+            states.append({"obj": 1, "name": name, "group": group})
+            scales.append([float(radius)] * 3)
+        else:
+            states.append({"obj": 0, "name": name, "group": group})
+            s = np.ones(3) if sides is None else np.asarray(sides, np.float64)
+            scales.append([float(v) for v in s])
+
+    traj_q = jnp.asarray(traj_q)
+    kin = jax.vmap(
+        lambda q: model.forward_kinematics(
+            scene.topo, scene.params, q, jnp.zeros_like(q), scene.state0.aux
+        )
+    )(traj_q)
+    E = np.asarray(kin.E_wi, dtype=np.float64)       # [T, nb, 4, 4]
+    Q = np.asarray(se3.mat_to_q(jnp.asarray(E[:, :, :3, :3])))  # [T,nb,4] wxyz
+
+    frames = []
+    for k in range(E.shape[0]):
+        fr = {"frame": k + 1}                        # addon does frame-1
+        for i, name in enumerate(names):
+            w, x, y, z = Q[k, i]
+            fr[name] = {
+                "scale": scales[i],
+                "quat": [float(x), float(y), float(z), float(w)],
+                "location": [float(v) for v in E[k, i, :3, 3]],
+            }
+        frames.append(fr)
+
+    doc = {
+        "header": {"objs": [cube_path, sphere_path], "states": states},
+        "body": frames,
+    }
+    path = os.path.join(out_dir, f"{scene.name or 'scene'}.json")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    return path
+
+
 _EXPORT_LIB = None
 
 

@@ -144,3 +144,56 @@ def test_checkpoint_roundtrip(tmp_path):
     p = checkpoint.save_checkpoint(str(tmp_path / "ck"), tree)
     back = checkpoint.load_checkpoint(p, tree)
     np.testing.assert_allclose(np.asarray(back["q"]), np.arange(5.0))
+
+
+def test_brender_export_addon_schema(tmp_path):
+    """export_brender writes the bundle blender_import_obj_base.py ingests:
+    header.objs (existing OBJ paths) + header.states + per-frame SRT dicts
+    with the addon's quat ordering (rotation_quaternion = (q[3], q[0], q[1],
+    q[2]) — i.e. [x, y, z, w] in the file)."""
+    import json
+
+    import numpy as np
+
+    from redmax_tpu import se3
+    from redmax_tpu.export import export_brender
+    from redmax_tpu.scenes import scene_chain
+
+    b = scene_chain(nlinks=3)
+    sc = b.compile()
+    rng = np.random.default_rng(0)
+    traj = 0.3 * rng.normal(size=(4, sc.topo.nr))
+    path = export_brender(sc, traj, str(tmp_path), bodies=b.bodies)
+    doc = json.load(open(path))
+
+    assert set(doc) == {"header", "body"}
+    for op in doc["header"]["objs"]:
+        assert os.path.isfile(op), op
+        first = open(op).readline()
+        assert first.startswith("v ")
+    names = [s["name"] for s in doc["header"]["states"]]
+    assert len(names) == sc.topo.njoints
+    assert all(s["obj"] in (0, 1) for s in doc["header"]["states"])
+
+    assert len(doc["body"]) == 4
+    fr = doc["body"][0]
+    assert fr["frame"] == 1
+    from redmax_tpu import model
+    import jax.numpy as jnp
+
+    kin = model.forward_kinematics(
+        sc.topo, sc.params, jnp.asarray(traj[0]),
+        jnp.zeros(sc.topo.nr), sc.state0.aux,
+    )
+    for i, name in enumerate(names):
+        st = fr[name]
+        assert set(st) == {"scale", "quat", "location"}
+        E = np.asarray(kin.E_wi[i])
+        np.testing.assert_allclose(st["location"], E[:3, 3], atol=1e-6)
+        # reconstruct R from the addon's (w, x, y, z) = (q[3], q[0..2]) read
+        x, y, z, w = st["quat"]
+        R = np.asarray(se3.q_to_mat(jnp.asarray([w, x, y, z])))
+        np.testing.assert_allclose(R, E[:3, :3], atol=1e-6)
+        # cuboid scale = body sides
+        np.testing.assert_allclose(st["scale"], np.asarray(b.bodies[i].sides),
+                                   atol=0)
