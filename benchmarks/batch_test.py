@@ -17,9 +17,17 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_bench")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_scene(nlinks: int, nsteps: int = 100):

@@ -74,10 +74,21 @@ def main():
         rows.append({"devices": n, "batch": B, "time_s": round(t, 4),
                      "weak_scaling_eff": round(eff, 3)})
         print(f"devices={n}: B={B} t={t*1e3:.1f} ms eff={eff:.2%}")
+    import os as _os
+
     report = {"backend": jax.default_backend(),
               "device": str(jax.devices()[0]),
               "mode": "weak scaling, per-device batch %d" % args.per_device_batch,
+              "physical_cores": _os.cpu_count(),
               "rows": rows}
+    if jax.default_backend() == "cpu":
+        report["note"] = (
+            "virtual CPU devices share %d physical cores: weak scaling "
+            "must degrade (compute grows with the mesh on fixed silicon); "
+            "this validates the sharded program, not hardware efficiency — "
+            "the >=80%% criterion applies to real multi-chip meshes"
+            % _os.cpu_count()
+        )
     print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as fh:
