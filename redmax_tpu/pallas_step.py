@@ -15,8 +15,9 @@ chord solve — structured-Hessian assembly, unrolled Gauss-Jordan inverse,
 pallas_call with topology unrolled at trace time (static python loops over
 joints; the per-scene kernel is compiled once and cached).
 
-Scope (the production MPC regime): FIXED / REVOLUTE / PRISMATIC joints, the
-built-in joint-space forces (tau, stiffness, damping, penalty limits,
+Scope (the production MPC regime): the constant-S joint types — FIXED /
+REVOLUTE / PRISMATIC / PLANAR / TRANSLATIONAL — with the built-in
+joint-space forces (tau, stiffness, damping, penalty limits,
 Joint.m:437-487), maximal Coriolis + gravity + body viscous damping
 (Body.computeMassGrav, Body.m:83-135), no closure forces. `supports()`
 reports whether a scene qualifies; integrators.make_bdf2_step_batched falls
@@ -48,7 +49,11 @@ from redmax_tpu.types import JointType, Topology
 LANES = (8, 128)           # one lane-block = 1024 batch lanes
 TILE = LANES[0] * LANES[1]
 
-_SUPPORTED = {JointType.FIXED, JointType.REVOLUTE, JointType.PRISMATIC}
+# Constant-S joint types: S is q-independent in the joint frame, so the
+# kernel's Sbdot = 0 shortcut and closed-form Q(q) hold. (UNIVERSAL /
+# SPHERICAL etc. have q-dependent S -> vmapped fallback.)
+_SUPPORTED = {JointType.FIXED, JointType.REVOLUTE, JointType.PRISMATIC,
+              JointType.PLANAR, JointType.TRANSLATIONAL}
 
 
 def supports(topo: Topology, force_fns: Tuple) -> bool:
@@ -237,7 +242,8 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                          [Epj[a, 3] for a in range(3)]))
             E0ji.append(([[Eji[a, b] for b in range(3)] for a in range(3)],
                          [Eji[a, 3] for a in range(3)]))
-            axes.append([axes_ref[j, k] for k in range(3)])
+            axes.append([[axes_ref[j, a, b] for b in range(3)]
+                         for a in range(3)])
         Ii = [[Ii_ref[j, k] for k in range(6)] for j in range(N)]
         bd = [bd_ref[0, j] for j in range(N)]
         stiff = [jsf_ref[0, r] for r in range(nr)]
@@ -254,10 +260,12 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
             A0 = _Ad(_E_inv(E0ji[j]))
             for d in range(ndof[j]):
                 r = doffs[j] + d
+                col = [axes[j][a][d] for a in range(3)]
                 if jtypes[j] == JointType.REVOLUTE:
-                    Sj = axes[j] + [0.0, 0.0, 0.0]
-                elif jtypes[j] == JointType.PRISMATIC:
-                    Sj = [0.0, 0.0, 0.0] + axes[j]
+                    Sj = col + [0.0, 0.0, 0.0]
+                elif jtypes[j] in (JointType.PRISMATIC, JointType.PLANAR,
+                                   JointType.TRANSLATIONAL):
+                    Sj = [0.0, 0.0, 0.0] + col
                 else:
                     raise AssertionError
                 Sb[r] = _mat6_vec(A0, Sj)
@@ -273,7 +281,7 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                 if jt == JointType.REVOLUTE:
                     th = x[doffs[j]]
                     c, s = xp.cos(th), xp.sin(th)
-                    a = axes[j]
+                    a = [axes[j][k][0] for k in range(3)]
                     omc = 1.0 - c
                     R = [[c + omc * a[0] * a[0],
                           omc * a[0] * a[1] - s * a[2],
@@ -285,10 +293,13 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                           omc * a[2] * a[1] + s * a[0],
                           c + omc * a[2] * a[2]]]
                     Q = (R, [0.0, 0.0, 0.0])
-                elif jt == JointType.PRISMATIC:
-                    th = x[doffs[j]]
+                elif jt in (JointType.PRISMATIC, JointType.PLANAR,
+                            JointType.TRANSLATIONAL):
                     I3 = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
-                    Q = (I3, [axes[j][k] * th for k in range(3)])
+                    o = doffs[j]
+                    p = [sum(axes[j][k][d] * x[o + d] for d in range(ndof[j]))
+                         for k in range(3)]
+                    Q = (I3, p)
                 else:  # FIXED
                     I3 = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
                     Q = (I3, [0.0, 0.0, 0.0])
@@ -489,14 +500,42 @@ def _prep_static(topo: Topology, params: Dict, dtype, xp=jnp):
     gh [1,4]) in the layout both the pallas wrapper and the dense evaluator
     feed the kernel."""
     N, nr = topo.njoints, topo.nr
-    axes = xp.zeros((N, 3), dtype)
+    # Per-joint dof-axis matrix [N, 3, 3]: column d = the d-th DOF's axis
+    # (rotation axis for REVOLUTE; translation directions for PRISMATIC /
+    # PLANAR / TRANSLATIONAL — identity columns for the latter).
+    axes = xp.zeros((N, 3, 3), dtype)
+
+    def put(members, block):
+        nonlocal axes
+        if xp is np:
+            axes[np.array(members)] = np.asarray(block, dtype)
+        else:
+            axes = axes.at[np.array(members)].set(block.astype(dtype))
+
+    eye3 = np.eye(3)
     for jt, members in topo.type_groups().items():
         jp = params.get("joint", {}).get(str(jt), {})
+        jt_e = JointType(jt)
         if "axis" in jp:
+            a = jp["axis"]                       # [G, 3]
             if xp is np:
-                axes[np.array(members)] = np.asarray(jp["axis"], dtype)
+                blk = np.zeros((len(members), 3, 3))
+                blk[:, :, 0] = np.asarray(a)
             else:
-                axes = axes.at[np.array(members)].set(jp["axis"].astype(dtype))
+                blk = jnp.zeros((len(members), 3, 3), dtype).at[:, :, 0].set(a)
+            put(members, blk)
+        elif "plane" in jp:
+            b = jp["plane"]                      # [G, 3, 2]
+            if xp is np:
+                blk = np.zeros((len(members), 3, 3))
+                blk[:, :, :2] = np.asarray(b)
+            else:
+                blk = jnp.zeros((len(members), 3, 3), dtype).at[:, :, :2].set(b)
+            put(members, blk)
+        elif jt_e == JointType.TRANSLATIONAL:
+            put(members, (np.broadcast_to(eye3, (len(members), 3, 3)) if xp is np
+                          else jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                                (len(members), 3, 3))))
     jsf = xp.stack([
         params["stiffness"], params["damping"], params["qrest"],
         params["qlimL"], params["qlimU"], params["qlimK"],
@@ -637,7 +676,7 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
             grid=(G,),
             in_specs=[lane_spec] * 6 + [
                 shared((N, 4, 4)), shared((N, 4, 4)), shared((N, 6)),
-                shared((N, 3)), shared((7, nr)), shared((1, N)),
+                shared((N, 3, 3)), shared((7, nr)), shared((1, N)),
                 shared((1, 4)),
             ],
             out_specs=[

@@ -45,7 +45,8 @@ CFG = NewtonConfig(
 
 
 def _mixed_scene():
-    """revolute + prismatic + fixed chain — covers all supported types."""
+    """revolute + prismatic + planar + translational + fixed chain — covers
+    every constant-S type the kernel supports."""
 
     def transl(p):
         E = np.eye(4)
@@ -65,6 +66,15 @@ def _mixed_scene():
                 axis=(0, 0, 1))
     b.set_damping(j, 0.5)
     b.set_stiffness(j, 10.0)
+    b4 = b.body_cuboid(1.0, (0.6, 0.1, 0.1), E_ji=transl([0.3, 0, 0]))
+    jp = b.joint(JointType.PLANAR, 3, b4, E_pj=transl([1.0, 0, 0]),
+                 plane=np.array([[1.0, 0, 0], [0, 0, 1.0]]).T)
+    b.set_stiffness(jp, 25.0)
+    b.set_damping(jp, 0.3)
+    b5 = b.body_cuboid(1.0, (0.4, 0.1, 0.1), E_ji=transl([0.2, 0, 0]))
+    jt = b.joint(JointType.TRANSLATIONAL, 4, b5, E_pj=transl([0.6, 0, 0]))
+    b.set_stiffness(jt, 40.0)
+    b.set_damping(jt, 0.5)
     return b.compile(dtype=jnp.float32)
 
 
