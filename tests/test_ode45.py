@@ -13,6 +13,16 @@ import pytest
 from redmax_tpu import explicit
 from redmax_tpu.scenes_matlab import build_mscene
 
+
+# NOTE: each ode45 program is a giant while-loop executable whose LLVM JIT
+# costs ~3-5k memory maps; a process that keeps compiling them crosses
+# vm.max_map_count and dies ("LLVM compilation error: Cannot allocate
+# memory" -> SIGSEGV/SIGABRT wherever the next mmap lands — historically
+# blamed on xdist/cache races). conftest.py's _bound_memory_maps fixture
+# clears the executable caches when a test leaves the process near the
+# limit; no ode45-specific handling is needed beyond the ode45_heavy
+# xdist_group (pytest.ini) that keeps these compiles on one worker.
+
 CERTS = {
     -1: (-5.6531026717020723, -5.6531026765951538),
     0: (-3.0971281943493523, -3.0971281068341341),
@@ -82,6 +92,7 @@ def run_H(sc, method):
     return float(T) + float(V) - float(V0)
 
 
+@pytest.mark.xdist_group("ode45_heavy")
 @pytest.mark.parametrize("sid", sorted(CERTS))
 @pytest.mark.parametrize("method", ["dense", "recursive"])
 def test_ode45_certificate(sid, method):
@@ -94,6 +105,7 @@ def test_ode45_certificate(sid, method):
     assert abs(H - cert) <= tol, f"{sid}/{method}: {H} vs {cert}"
 
 
+@pytest.mark.xdist_group("ode45_heavy")
 def test_cross_oracle_equivalence():
     """Dense vs recursive trajectories agree (independent algorithms)."""
     sc = build_mscene(4)
