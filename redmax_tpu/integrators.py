@@ -176,10 +176,13 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
                     ok_full = jnp.linalg.norm(g_full) <= jnp.linalg.norm(g)
                     x_half = x - 0.5 * dx
                     g_half = res_fn(x_half)
-                    ok_half = jnp.all(jnp.isfinite(g_half))
-                    # full step if it improved; else half step if finite;
-                    # else stay put (a real failure — recorded and rejected
-                    # below, since the stuck iterate is finite but wrong).
+                    # the half step must IMPROVE too: accepting any finite
+                    # half walks straight into an exploding residual at a
+                    # contact/regime flip (observed |g| ~ 6e17 accepted).
+                    ok_half = jnp.linalg.norm(g_half) <= jnp.linalg.norm(g)
+                    # full step if it improved; else half step if improved;
+                    # else stay put (non-fatal when the solve already
+                    # improved — see the stalled test below).
                     stayput = stayput | (~ok_full & ~ok_half)
                     x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
                     g = jnp.where(ok_full, g_full, jnp.where(ok_half, g_half, g))
@@ -200,7 +203,13 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
                 gln = gn
                 F = factor(jac_fn(x))
                 x = x - clamp(solve(F, g))
-        diverged = ~jnp.all(jnp.isfinite(x)) | ~jnp.isfinite(gln) | stayput
+        # A stay-put iteration only signals failure when the solve never
+        # meaningfully improved: at a contact/regime flip the guard often
+        # stalls AFTER the residual already dropped several-fold (the frozen
+        # chord direction goes bad near the root), and rejecting such a lane
+        # throws away a perfectly usable half-resolved step.
+        stalled = stayput & (gln > 0.5 * g0n)
+        diverged = ~jnp.all(jnp.isfinite(x)) | ~jnp.isfinite(gln) | stalled
         if cfg.growth_reject:
             diverged = diverged | (gln > cfg.growth_reject * g0n)
         if cfg.tol_reject:
@@ -599,6 +608,7 @@ def make_bdf2_step_batched(
     use_pallas: bool = None,
     interpret: bool = None,
     kernel_impl: str = "pallas",
+    backward: str = "reuse",
 ):
     """Batched BDF2 step over [B, nr] states — the TPU performance tier.
 
@@ -613,6 +623,15 @@ def make_bdf2_step_batched(
     scalar — lanes step in lock-step); params["tau"] may be [nr] (shared) or
     [B, nr] (per-lane, the MPC case); all other params are shared.
 
+    LOCK-STEP REQUIREMENT: step() dispatches bootstrap-vs-inner on
+    jnp.all(s.k == 0) — a batch whose lanes carry MIXED k values (some 0,
+    some >0) is outside the contract: the k=0 lanes would take an inner BDF2
+    step against bdf2_init's duplicated history instead of bootstrapping.
+    Every in-repo producer (bdf2_init + make_simulate's split-phase scan)
+    keeps k scalar or uniform; if you construct batched states by hand, keep
+    k uniform or use the vmapped fallback (use_pallas=False), whose per-lane
+    lax.cond handles mixed k correctly.
+
     differentiable=True wires the implicit-function custom VJP: the backward
     transposed solve reuses the H^-1 the forward kernel already materialized
     (TaskBDF1.m:66 factor reuse), and the residual VJP runs through the pure
@@ -622,12 +641,22 @@ def make_bdf2_step_batched(
     fallback, True = require the kernel (raises if unsupported).
     interpret: forwarded to pallas_call (None = auto: interpret off-TPU).
     Exposes .bootstrap/.inner like make_bdf2_step for make_simulate.
+
+    backward (kernel pipeline only — the fallback's escape hatch is
+    cfg.hessian="exact"): the adjoint backward transposed solve runs against
+      "reuse"   (default, production) — the chord factor H^-1 the forward
+                kernel materialized at the predictor x0 (fastest; carries
+                the measured ~8% FD bias on stiff scenes, test_adjoint.py);
+      "refresh" — a structured H re-evaluated AT THE SOLUTION x*
+                (TaskBDF1.m:45-81 solves against H at the solution);
+      "exact"   — the exact jacfwd Hessian at x* (FD-tight gradients at
+                the cost of the dJ/dq tangent blowup per backward step).
     """
     from redmax_tpu import pallas_step
 
     qualifies = (
         pallas_step.supports(topo, force_fns)
-        and cfg.fixed_iters > 0 and cfg.chord and not cfg.guarded
+        and cfg.fixed_iters > 0
         and cfg.hessian == "structured" and cfg.linsolve == "gj"
     )
     if use_pallas is None:
@@ -666,7 +695,7 @@ def make_bdf2_step_batched(
         return step
 
     solve_k = pallas_step.make_chord_bdf2(
-        topo, cfg, interpret=interpret, impl=kernel_impl
+        topo, cfg, interpret=interpret, impl=kernel_impl, force_fns=force_fns
     )
 
     def _res2b(theta, x):
@@ -690,7 +719,33 @@ def make_bdf2_step_batched(
         return x
 
     if differentiable:
+        assert backward in ("reuse", "refresh", "exact"), backward
         psolve = jax.custom_vjp(_plain)
+        _hessb = _hess_bdf2(topo, force_fns)
+        _solve_T = _make_solve_T(cfg)
+
+        def _z_of(theta, x, Hinv, xbar):
+            """Adjoint solve z = H^-T xbar per lane (see `backward` above)."""
+            if backward == "reuse":
+                return jnp.einsum("bsr,bs->br", Hinv, xbar.astype(Hinv.dtype))
+            params, q0, qd0, q1, qd1 = theta
+            tau = params["tau"]
+            tau_b = tau if tau.ndim == 2 else jnp.broadcast_to(tau, x.shape)
+
+            def Hof(ti, a, b, c, d, xi):
+                p = {**params, "tau": ti}
+                if backward == "refresh":
+                    return _hessb((p, a, b, c, d, {}), xi)
+                return jax.jacfwd(lambda xx: residual_bdf2(
+                    topo, force_fns, p, xx, a, b, c, d, {}
+                ))(xi)
+
+            H = jax.vmap(Hof)(tau_b, q0, qd0, q1, qd1, x)
+            if _solve_T is not None:
+                return jax.vmap(_solve_T)(H, xbar.astype(H.dtype))
+            return jnp.linalg.solve(
+                jnp.swapaxes(H, -1, -2), xbar.astype(H.dtype)[..., None]
+            )[..., 0]
 
         def _pfwd(theta, x0):
             params, q0, qd0, q1, qd1 = theta
@@ -700,8 +755,9 @@ def make_bdf2_step_batched(
         def _pbwd(saved, xbar):
             theta, x, Hinv = saved
             # z = H^-T xbar per lane, reusing the forward chord factor
-            # (implicit_solve_factored semantics; TaskBDF1.m:66).
-            z = jnp.einsum("bsr,bs->br", Hinv, xbar.astype(Hinv.dtype))
+            # (implicit_solve_factored semantics; TaskBDF1.m:66) or a
+            # refreshed/exact H at x* per `backward`.
+            z = _z_of(theta, x, Hinv, xbar)
             res_out, vjp_theta = jax.vjp(lambda th: _res2b(th, x), theta)
             (thetabar,) = vjp_theta((-z).astype(res_out.dtype))
             x0bar = jax.tree_util.tree_map(
@@ -722,7 +778,8 @@ def make_bdf2_step_batched(
         q2 = (psolve if differentiable else _plain)(theta, guess)
         q2 = q2.astype(q1.dtype)  # kernel is f32; keep the carry dtype stable
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
-        # Supported joint types (fixed/revolute/prismatic) have no reparam.
+        # Kernel-supported joint types (constant-S + universal) have no
+        # reparam_fn (KERNELS table), so inner() skips reparam_all.
         return Bdf2State(
             q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qd1, k=s.k + 1, aux=s.aux
         )

@@ -324,7 +324,18 @@ def structured_hessian(
 
     # Closure forces may couple bodies (point-point springs, cables, ...):
     # their Km/Dm keep the whole-system jacfwd — only when any are present.
+    # Ground contact takes the CLOSED-FORM path instead (the same
+    # pallas_step._ground_contact code the fused kernel runs, with the
+    # one-step proximity-margin H activation) so the fallback and the kernel
+    # build bit-matching Newton matrices and both survive contact
+    # activation: the jacfwd blocks' (d <= 0) masks give the chord H zero
+    # contact stiffness at an out-of-contact predictor, and the first
+    # Newton step at impact overshoots by orders of magnitude.
+    from redmax_tpu.forces import ForceGroundCuboid
+
     fns = tuple(f for f in force_fns if getattr(f, "implicit_KD", True))
+    gnd = tuple(f for f in fns if isinstance(f, ForceGroundCuboid))
+    fns = tuple(f for f in fns if not isinstance(f, ForceGroundCuboid))
     if fns:
         z = jnp.zeros((N, 6), dtype=dtype)
 
@@ -341,6 +352,38 @@ def structured_hessian(
         Dm = jax.jacfwd(fm_of, argnums=1)(z, z).reshape(6 * N, 6 * N)
         Kt = Kt + J.T @ (Km @ J)
         Dt = Dt + J.T @ (Dm @ J)
+    if gnd:
+        from redmax_tpu import pallas_step
+
+        hh = params["h"]
+        gmag = jnp.sqrt(jnp.sum(params["g"] * params["g"]))
+        Jblk3 = J.reshape(N, 6, nr)
+        for fn in gnd:
+            b = fn.body
+            fp = params["forces"][fn.key]
+            E_g = fp["E"]
+            cp = {
+                "sides": [fp["sides"][k] for k in range(3)],
+                "kn": fp["kn"], "kt": fp["kt"], "kd": fp["kd"],
+                "mu": fp["mu"],
+                "xg": [E_g[k, 3] for k in range(3)],
+                "ng": [E_g[k, 2] for k in range(3)],
+            }
+            Eb = kin.E_wi[b]
+            Epair = ([[Eb[i, j] for j in range(3)] for i in range(3)],
+                     [Eb[i, 3] for i in range(3)])
+            ph_b = [phi[b][k] for k in range(6)]
+            _, Kc, Dc = pallas_step._ground_contact(
+                Epair, ph_b, cp, dtype, jnp, want_blocks=True,
+                hpred=(hh, gmag),
+            )
+            Kc = jnp.stack([jnp.stack([jnp.broadcast_to(Kc[i][j], ())
+                                       for j in range(6)]) for i in range(6)])
+            Dc = jnp.stack([jnp.stack([jnp.broadcast_to(Dc[i][j], ())
+                                       for j in range(6)]) for i in range(6)])
+            Jb = Jblk3[b]                                   # [6, nr]
+            Kt = Kt + Jb.T @ (Kc.astype(dtype) @ Jb)
+            Dt = Dt + Jb.T @ (Dc.astype(dtype) @ Jb)
 
     Ivec = params["I_i"].reshape(-1)
     MmJ = Ivec[:, None] * J

@@ -410,6 +410,39 @@ def scene_chain(
     return b
 
 
+def scene_chain_ground(
+    nlinks: int = 12,
+    link_len: float = 1.0,
+    density: float = 1.0,
+    damping: float = 1.0,
+    h: float = 1e-2,
+    tEnd: float = 0.5,
+    floor_z: float = None,
+    kn: float = 1e4,
+    kt: float = 1e2,
+    kd: float = 3e1,
+    mu: float = 0.5,
+    contact_links=None,
+) -> SceneBuilder:
+    """scene_chain + penalty ground contact (ForceGroundCuboid) on every
+    link — the differentiable-contact MPC benchmark scene (the role of
+    matlab-diff scene 11, ForceGroundCuboid.m + scenesRedMax.m:290-311,
+    composed with the loadChain generator). The floor plane is z-up at
+    floor_z (default: 1.5 link lengths below the root, so a swinging chain
+    strikes it mid-horizon). contact_links limits contact to a subset of
+    link indices (default: all)."""
+    b = scene_chain(nlinks=nlinks, link_len=link_len, density=density,
+                    damping=damping, h=h, tEnd=tEnd)
+    b.name = f"chain-ground-{nlinks}"
+    if floor_z is None:
+        floor_z = -1.5 * link_len
+    E_g = np.eye(4)
+    E_g[2, 3] = floor_z
+    for i in (range(nlinks) if contact_links is None else contact_links):
+        b.force_ground_cuboid(i, E_ground=E_g, kn=kn, kt=kt, kd=kd, mu=mu)
+    return b
+
+
 def scene_tree(depth: int = 4, branch: int = 2, link_len: float = 1.0,
                density: float = 1.0, h: float = 1e-2, tEnd: float = 0.5) -> SceneBuilder:
     """Procedural branching tree (RigidBodyCreator::loadSimpleTree/loadTree,

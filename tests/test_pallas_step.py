@@ -35,7 +35,7 @@ import pytest
 from redmax_tpu import integrators, model, pallas_step
 from redmax_tpu.integrators import Bdf2State, NewtonConfig
 from redmax_tpu.scene import SceneBuilder
-from redmax_tpu.scenes import scene_chain
+from redmax_tpu.scenes import scene_chain, scene_chain_ground
 from redmax_tpu.types import JointType, State
 
 CFG = NewtonConfig(
@@ -75,6 +75,9 @@ def _mixed_scene():
     jt = b.joint(JointType.TRANSLATIONAL, 4, b5, E_pj=transl([0.6, 0, 0]))
     b.set_stiffness(jt, 40.0)
     b.set_damping(jt, 0.5)
+    b6 = b.body_cuboid(1.0, (0.5, 0.1, 0.1), E_ji=transl([0.25, 0, 0]))
+    ju = b.joint(JointType.UNIVERSAL, 5, b6, E_pj=transl([0.5, 0, 0]))
+    b.set_damping(ju, 0.4)
     return b.compile(dtype=jnp.float32)
 
 
@@ -93,13 +96,13 @@ def _rand_states(sc, B, seed=1):
 def _jax_chord_solve(sc, cfg, params, x0, q0, qd0, q1, qd1):
     """Reference: vmapped newton(fixed_iters, chord, structured, gj), also
     returning the materialized H^-1 chord factor."""
-    hess = integrators._hess_bdf2(sc.topo, ())
+    hess = integrators._hess_bdf2(sc.topo, sc.force_fns)
 
     def one(tau_i, x0i, q0i, qd0i, q1i, qd1i):
         p = {**params, "tau": tau_i}
         theta = (p, q0i, qd0i, q1i, qd1i, {})
         res = lambda x: integrators.residual_bdf2(
-            sc.topo, (), p, x, q0i, qd0i, q1i, qd1i, {}
+            sc.topo, sc.force_fns, p, x, q0i, qd0i, q1i, qd1i, {}
         )
         x, info = integrators.newton(
             res, x0i, cfg, jac_fn=lambda x: hess(theta, x)
@@ -121,7 +124,8 @@ def _np_inner_step(sc, cfg, params, s: Bdf2State) -> Bdf2State:
     if cfg.predictor == "quadratic":
         guess = guess + 0.5 * h * (qd1 - qd0)
     q2, _ = pallas_step.chord_bdf2_dense(
-        sc.topo, cfg, params, guess, q0, qd0, q1, qd1, xp=np
+        sc.topo, cfg, params, guess, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
     )
     q2 = q2.astype(np.float32)
     qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
@@ -154,15 +158,25 @@ def test_closed_form_blocks_match_jacfwd():
         np.testing.assert_allclose(np.array(D), np.asarray(D_ref[i]), atol=1e-10)
 
 
-@pytest.mark.parametrize("scene", ["chain", "mixed"])
+def _ground_scene(nlinks=3):
+    """Revolute chain with penalty ground contact on every link; the floor
+    sits just below z=0 so _rand_states configurations penetrate with mixed
+    active/static/dynamic corner regimes."""
+    return scene_chain_ground(
+        nlinks=nlinks, floor_z=-0.02, kn=1e3, kt=50.0, kd=10.0, mu=0.5
+    ).compile(dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("scene", ["chain", "mixed", "ground"])
 def test_kernel_math_matches_chord_solve(scene):
-    sc = (scene_chain(nlinks=4).compile(dtype=jnp.float32)
-          if scene == "chain" else _mixed_scene())
+    sc = {"chain": lambda: scene_chain(nlinks=4).compile(dtype=jnp.float32),
+          "mixed": _mixed_scene, "ground": _ground_scene}[scene]()
     B = 8
     x0, q0, qd0, q1, qd1 = _rand_states(sc, B)
 
     x_np, hinv_np = pallas_step.chord_bdf2_dense(
-        sc.topo, CFG, sc.params, x0, q0, qd0, q1, qd1, xp=np
+        sc.topo, CFG, sc.params, x0, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
     )
     x_ref, hinv_ref = jax.jit(
         lambda a, b, c, d, e: _jax_chord_solve(
@@ -305,7 +319,7 @@ def test_custom_vjp_backward_matches_fallback():
 
 def test_unsupported_scene_falls_back():
     """A scene with a spherical joint must auto-route to the vmap fallback,
-    and use_pallas=True must raise."""
+    and use_pallas=True must raise; a ground-contact chain must QUALIFY."""
     from redmax_tpu.scenes import build_scene
 
     sc = build_scene(7)  # spherical-joint chain (scenesRedMax.m scene 7)
@@ -316,3 +330,239 @@ def test_unsupported_scene_falls_back():
         integrators.make_bdf2_step_batched(
             sc.topo, sc.force_fns, CFG, use_pallas=True
         )
+    scg = _ground_scene()
+    assert pallas_step.supports(scg.topo, scg.force_fns)
+
+
+def test_contact_blocks_match_jacfwd():
+    """_ground_contact's closed-form K/D == jacfwd of the ForceGroundCuboid
+    closure under the structured_hessian perturbation convention
+    (E_wi <- E_wi exp(xi^), phi <- phi + dphi), in f64."""
+    from redmax_tpu import se3
+
+    sc = _ground_scene(nlinks=2)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if hasattr(a, "astype") else a,
+        sc.params,
+    )
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(0.4 * rng.normal(size=sc.topo.nr))
+    qdot = jnp.asarray(rng.normal(size=sc.topo.nr))
+    kin = model.forward_kinematics(sc.topo, params, q, qdot, {})
+    _, _, phi = model.jacobians(sc.topo, params, kin, qdot)
+    N = sc.topo.njoints
+    z = jnp.zeros((N, 6), dtype=jnp.float64)
+
+    for fn in sc.force_fns:
+        b = fn.body
+
+        def fm_of(xi, dphi):
+            kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+            _, fm = fn(params, kin2, None, phi + dphi, q, qdot)
+            return fm[b]
+
+        K_ref = jax.jacfwd(fm_of, argnums=0)(z, z)[:, b, :]     # [6,6]
+        D_ref = jax.jacfwd(fm_of, argnums=1)(z, z)[:, b, :]
+        fm_ref = np.asarray(fm_of(z, z))
+
+        fp = params["forces"][fn.key]
+        E = np.asarray(fp["E"])
+        cp = {
+            "sides": list(np.asarray(fp["sides"], np.float64)),
+            "kn": np.float64(fp["kn"]), "kt": np.float64(fp["kt"]),
+            "kd": np.float64(fp["kd"]), "mu": np.float64(fp["mu"]),
+            "xg": list(E[:3, 3]), "ng": list(E[:3, 2]),
+        }
+        Eb = np.asarray(kin.E_wi[b])
+        Epair = ([[Eb[i, j] for j in range(3)] for i in range(3)],
+                 [Eb[i, 3] for i in range(3)])
+        ph = [float(x) for x in np.asarray(phi[b])]
+        wr, K, D = pallas_step._ground_contact(
+            Epair, ph, cp, np.float64, np, want_blocks=True
+        )
+        # the test config must actually exercise contact
+        assert np.abs(np.array(wr)).max() > 0
+        np.testing.assert_allclose(np.array(wr), fm_ref, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.array(K), np.asarray(K_ref), atol=1e-9)
+        np.testing.assert_allclose(np.array(D), np.asarray(D_ref), atol=1e-9)
+
+
+def test_contact_rollout_matches_vmap_fallback():
+    """Chain dropped onto the floor: numpy-oracle stepping of the pallas
+    kernel (contact inside the kernel) == the vmap fallback (contact via
+    force closures + jacfwd structured blocks) over a multi-step rollout
+    through impact."""
+    # Gentler than _rand_states: penalty contact at kn=1e3 under 3 chord
+    # iterations rejects lanes slammed into the floor at |qdot| ~ 1 (the
+    # vmapped REFERENCE path rejects them too — divergence parity is covered
+    # by test_divergence_poisoning_matches); this test wants a convergent
+    # impact trajectory on both paths.
+    sc = scene_chain_ground(
+        nlinks=3, floor_z=-0.02, kn=300.0, kt=20.0, kd=5.0, mu=0.5
+    ).compile(dtype=jnp.float32)
+    B, nsteps = 4, 8
+    rng = np.random.default_rng(4)
+    s0 = State(
+        q=jnp.asarray(0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        qdot=jnp.asarray(0.3 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        aux={},
+    )
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, sc.force_fns, CFG, use_pallas=False
+    )
+    sim = integrators.make_simulate(step, nsteps)
+    ref = jax.jit(sim)(sc.params, integrators.bdf2_init(s0))
+    assert bool(jnp.all(jnp.isfinite(ref.q)))
+
+    s = step.bootstrap(sc.params, integrators.bdf2_init(s0))
+    for _ in range(nsteps - 1):
+        s = _np_inner_step(sc, CFG, sc.params, s)
+    np.testing.assert_allclose(np.asarray(s.q), np.asarray(ref.q), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s.qdot), np.asarray(ref.qdot), atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("mode", ["guarded", "refresh"])
+def test_robust_solve_modes_match_newton(mode):
+    """The kernel's guarded chord (full/half/stay-put line-search guard) and
+    re-evaluated-H mode (chord=False) == integrators.newton with the same
+    config, on the contact scene where these modes matter."""
+    # newton() guards only the chord branch, so the refresh (chord=False)
+    # parity runs unguarded; the kernel's guarded+refresh combination is a
+    # superset with no vmapped counterpart.
+    cfg = NewtonConfig(
+        fixed_iters=3, predictor="quadratic",
+        chord=(mode == "guarded"), guarded=(mode == "guarded"),
+        hessian="structured", linsolve="gj",
+    )
+    sc = _ground_scene()
+    B = 8
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=31)
+    x_np, _ = pallas_step.chord_bdf2_dense(
+        sc.topo, cfg, sc.params, x0, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
+    )
+    x_ref, _ = jax.jit(
+        lambda a, b, c, d, e: _jax_chord_solve(sc, cfg, sc.params, a, b, c, d, e)
+    )(x0, q0, qd0, q1, qd1)
+    x_ref = np.asarray(x_ref)
+    finite = np.all(np.isfinite(x_ref), axis=-1)
+    assert finite.mean() > 0.5
+    np.testing.assert_array_equal(np.all(np.isfinite(x_np), axis=-1), finite)
+    np.testing.assert_allclose(x_np[finite], x_ref[finite], rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("backward", ["refresh", "exact"])
+def test_backward_escape_hatch(backward):
+    """make_bdf2_step_batched(backward="refresh"/"exact"): the adjoint
+    transposed solve runs against a structured / exact H re-evaluated AT THE
+    SOLUTION x* (TaskBDF1.m:45-81 semantics) instead of the chord factor at
+    the predictor. Verified against manually-computed IFT cotangents. Uses
+    kernel_impl="dense" (same kernel code, XLA-compilable on CPU) at a tiny
+    scene so the real _pbwd wiring is exercised end to end."""
+    sc = scene_chain(nlinks=2).compile(dtype=jnp.float32)
+    B = 2
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=21)
+    rng = np.random.default_rng(23)
+    tau = jnp.asarray(0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    xbar = jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    s = Bdf2State(q=q1, qdot=qd1, q_prev=q0, qdot_prev=qd0,
+                  k=jnp.ones((), jnp.int32), aux={})
+
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, differentiable=True, use_pallas=True,
+        kernel_impl="dense", backward=backward,
+    )
+    out, vjp = jax.vjp(lambda t: step.inner({**sc.params, "tau": t}, s).q, tau)
+    (cot_tau,) = vjp(xbar)
+
+    # Manual IFT reference: x* from the numpy oracle, H at x*, z = H^-T xbar,
+    # cotangent = -z^T d(res)/d(tau).
+    h = sc.params["h"]
+    guess = q1 + h * qd1 + 0.5 * h * (qd1 - qd0)
+    params = {**sc.params, "tau": tau}
+    xstar, _ = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, params, guess, q0, qd0, q1, qd1, xp=np
+    )
+    xstar = jnp.asarray(xstar)
+    hessb = integrators._hess_bdf2(sc.topo, ())
+
+    def H_one(ti, a, b, c, d, xi):
+        p = {**sc.params, "tau": ti}
+        if backward == "refresh":
+            return hessb((p, a, b, c, d, {}), xi)
+        return jax.jacfwd(lambda xx: integrators.residual_bdf2(
+            sc.topo, (), p, xx, a, b, c, d, {}
+        ))(xi)
+
+    H = jax.vmap(H_one)(tau, q0, qd0, q1, qd1, xstar)
+    z = jnp.linalg.solve(jnp.swapaxes(H, -1, -2),
+                         xbar.astype(H.dtype)[..., None])[..., 0]
+
+    def res_b(tau_b):
+        def one(ti, a, b, c, d, xi):
+            p = {**sc.params, "tau": ti}
+            return integrators.residual_bdf2(sc.topo, (), p, xi, a, b, c, d, {})
+        return jax.vmap(one)(tau_b, q0, qd0, q1, qd1, xstar)
+
+    _, vjp_res = jax.vjp(res_b, tau)
+    (cot_ref,) = vjp_res(-z)
+    cot_tau = np.asarray(cot_tau, np.float64)
+    cot_ref = np.asarray(cot_ref, np.float64)
+    scale = max(np.abs(cot_ref).max(), 1e-9)
+    np.testing.assert_allclose(cot_tau, cot_ref, atol=5e-4 * scale)
+
+
+def test_contact_vjp_matches_fallback():
+    """Differentiable contact (the matlab-diff flagship): the factor-reusing
+    pallas backward == the fallback VJP on the ground-contact scene."""
+    sc = _ground_scene()
+    B = 4
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=11)
+    rng = np.random.default_rng(13)
+    tau = jnp.asarray(0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    params = {**sc.params, "tau": tau}
+    xbar = jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+
+    step_f = integrators.make_bdf2_step_batched(
+        sc.topo, sc.force_fns, CFG, differentiable=True, use_pallas=False
+    )
+
+    def inner_q(tau_b, q0b, qd0b, q1b, qd1b):
+        s = Bdf2State(q=q1b, qdot=qd1b, q_prev=q0b, qdot_prev=qd0b,
+                      k=jnp.ones((), jnp.int32), aux={})
+        return step_f.inner({**sc.params, "tau": tau_b}, s).q
+
+    out_f, vjp_f = jax.vjp(inner_q, tau, q0, qd0, q1, qd1)
+    cots_f = vjp_f(xbar)
+
+    h = sc.params["h"]
+    guess = q1 + h * qd1 + 0.5 * h * (qd1 - qd0)
+    xstar, hinv = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, params, guess, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
+    )
+    xstar = jnp.asarray(xstar)
+    z = jnp.einsum("bsr,bs->br", jnp.asarray(hinv), xbar)
+
+    def res_b(tau_b, q0b, qd0b, q1b, qd1b, x):
+        def one(ti, a, b, c, d, xi):
+            p = {**sc.params, "tau": ti}
+            return integrators.residual_bdf2(
+                sc.topo, sc.force_fns, p, xi, a, b, c, d, {}
+            )
+
+        return jax.vmap(one)(tau_b, q0b, qd0b, q1b, qd1b, x)
+
+    _, vjp_res = jax.vjp(
+        lambda t, a, b, c, d: res_b(t, a, b, c, d, xstar), tau, q0, qd0, q1, qd1
+    )
+    cots_p = vjp_res(-z)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(xstar), atol=1e-5)
+    names = ["tau", "q0", "qd0", "q1", "qd1"]
+    for name, cf, cp in zip(names, cots_f, cots_p):
+        cf, cp = np.asarray(cf, np.float64), np.asarray(cp, np.float64)
+        scale = max(np.abs(cf).max(), 1e-9)
+        np.testing.assert_allclose(cp, cf, atol=5e-4 * scale, err_msg=name)
