@@ -61,7 +61,7 @@ def main():
     task = mpc.PointPosTask(body=nlinks - 1, wp=1.0, wreg=1e-6, pscale=1e3)
     xlocal = jnp.array([0.5, 0.0, 0.0], dtype=dtype)
     obj = mpc.make_objective_batched(
-        sc.topo, (), task, xlocal, horizon, cfg,
+        sc.topo, sc.force_fns, task, xlocal, horizon, cfg,
         use_pallas=(path == "pallas"),
     )
     solve = jax.jit(mpc.make_mpc_solver_batched(obj, iters=1, lr=0.05))

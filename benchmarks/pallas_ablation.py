@@ -9,7 +9,8 @@ This is the evidence artifact for the VERDICT r2 item 1 decision: the fused
 batch-as-tile kernel is the production forward path because it is both much
 faster END TO END (bench.py A/B on one v5e: 9359 solves/s with the kernel
 vs 3417 with the vmapped XLA step in the identical batched MPC pipeline —
-2.7x; the isolated single-solve micro-gap is smaller, ~1.4x, the rest comes
+2.7x; the isolated single-solve micro-gap is smaller, 1.19x as committed in
+pallas_ablation.json, the rest comes
 from how the big scanned+differentiated program schedules around the fused
 kernel vs the op-soup step) and more accurate (the kernel's lane-block
 arithmetic is true f32 on the VPU; the XLA path's einsum contractions go

@@ -37,6 +37,10 @@ _A = np.array(
     ]
 )
 _B5 = np.array([35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0])
+# 4th-order embedded weights. Not used directly in the stepper — the error
+# estimate is computed as the exact stage combination E = _B5 - _B4 (MATLAB
+# ode45's hardcoded E fractions equal this difference componentwise); kept
+# here so the two cannot drift and the derivation stays checkable.
 _B4 = np.array(
     [5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
 )

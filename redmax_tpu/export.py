@@ -68,14 +68,13 @@ class FrameExporter:
         return path
 
 
-_SPHERE_CACHE = None
+_SPHERE_CACHE = {}
 
 
 def _unit_sphere(nsub: int = 2):
     """Unit icosphere (vertices, faces) by midpoint subdivision."""
-    global _SPHERE_CACHE
-    if _SPHERE_CACHE is not None:
-        return _SPHERE_CACHE
+    if nsub in _SPHERE_CACHE:
+        return _SPHERE_CACHE[nsub]
     t = (1.0 + np.sqrt(5.0)) / 2.0
     V = np.array(
         [[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
@@ -108,8 +107,8 @@ def _unit_sphere(nsub: int = 2):
             newF += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
         V = np.array(verts)
         F = np.array(newF)
-    _SPHERE_CACHE = (V, F)
-    return _SPHERE_CACHE
+    _SPHERE_CACHE[nsub] = (V, F)
+    return _SPHERE_CACHE[nsub]
 
 
 def _write_obj(path: str, V: np.ndarray, F: np.ndarray) -> None:
@@ -211,9 +210,19 @@ def _native_export():
     if _EXPORT_LIB is not None:
         return _EXPORT_LIB or None
     import ctypes
+    import subprocess
 
-    so = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc", "_export.so")
+    csrc = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+    so = os.path.join(csrc, "_export.so")
+    src = os.path.join(csrc, "export.c")
     try:
+        # binaries are untracked (repo hygiene) — build on demand, like
+        # mesh._native()
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
         lib = ctypes.CDLL(so)
         lib.write_frames_obj.restype = ctypes.c_int
         lib.write_frames_obj.argtypes = [
@@ -225,7 +234,7 @@ def _native_export():
             ctypes.c_long,
         ]
         _EXPORT_LIB = lib
-    except OSError:
+    except Exception:  # missing toolchain / failed build / bad .so
         _EXPORT_LIB = False
     return _EXPORT_LIB or None
 
@@ -282,6 +291,181 @@ def export_objs(scene, traj_q, out_dir: str, sides=None, stride: int = 1) -> int
                 voff += 8
         n += 1
     return n
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>redmax_tpu viewer — __NAME__</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font:13px monospace;overflow:hidden}
+ #hud{position:fixed;left:10px;top:10px;user-select:none}
+ #bar{position:fixed;left:10px;bottom:10px;right:10px;display:flex;gap:8px;align-items:center}
+ #scrub{flex:1}
+ button{background:#333;color:#ddd;border:1px solid #555;font:13px monospace;cursor:pointer}
+</style></head><body>
+<canvas id="c"></canvas>
+<div id="hud">__NAME__ — drag: orbit · wheel: zoom · space: play/pause</div>
+<div id="bar"><button id="play">&#9654;</button>
+ <input type="range" id="scrub" min="0" max="0" value="0" step="1">
+ <span id="fr"></span></div>
+<script>
+const DATA=__DATA__;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+const scrub=document.getElementById('scrub'),frlab=document.getElementById('fr');
+const playBtn=document.getElementById('play');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}rs();
+addEventListener('resize',rs);
+const T=DATA.frames.length,NB=DATA.sides.length;scrub.max=T-1;
+// unit cube corners and quad faces
+const CV=[];for(const x of[-0.5,0.5])for(const y of[-0.5,0.5])for(const z of[-0.5,0.5])CV.push([x,y,z]);
+const QF=[[0,1,3,2],[4,6,7,5],[0,4,5,1],[2,3,7,6],[0,2,6,4],[1,5,7,3]];
+// scene scale -> camera distance
+let cx=0,cy=0,cz=0,n=0,rmax=1e-6;
+for(const f of DATA.frames)for(let b=0;b<NB;b++){cx+=f[b][9];cy+=f[b][10];cz+=f[b][11];n++;}
+cx/=n;cy/=n;cz/=n;
+for(const f of DATA.frames)for(let b=0;b<NB;b++){
+ const r=Math.hypot(f[b][9]-cx,f[b][10]-cy,f[b][11]-cz);if(r>rmax)rmax=r;}
+let theta=0.6,phi=0.35,dist=4.5*rmax+3;
+let k=0,playing=true,drag=null;
+cv.onmousedown=e=>drag=[e.clientX,e.clientY];
+addEventListener('mouseup',()=>drag=null);
+addEventListener('mousemove',e=>{if(!drag)return;
+ theta+=(e.clientX-drag[0])*0.01;phi+=(e.clientY-drag[1])*0.01;
+ phi=Math.max(-1.55,Math.min(1.55,phi));drag=[e.clientX,e.clientY];});
+addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001);});
+addEventListener('keydown',e=>{if(e.code==='Space'){playing=!playing;e.preventDefault();}});
+playBtn.onclick=()=>playing=!playing;
+scrub.oninput=()=>{k=+scrub.value;playing=false;};
+function draw(){
+ if(playing){k=(k+1)%T;scrub.value=k;}
+ playBtn.textContent=playing?'\\u275A\\u275A':'\\u25B6';
+ frlab.textContent='frame '+k+'/'+(T-1)+(DATA.h?('  t='+(k*DATA.h).toFixed(3)+'s'):'');
+ ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+ const ct=Math.cos(theta),st=Math.sin(theta),cp=Math.cos(phi),sp=Math.sin(phi);
+ // camera basis (z-up world): forward f, right r, up u
+ const f=[-ct*cp,-st*cp,-sp],r=[-st,ct,0],u=[f[1]*r[2]-f[2]*r[1],f[2]*r[0]-f[0]*r[2],f[0]*r[1]-f[1]*r[0]];
+ const eye=[cx-dist*f[0],cy-dist*f[1],cz-dist*f[2]];
+ const fl=1.2*Math.min(W,H);
+ function proj(p){
+  const d=[p[0]-eye[0],p[1]-eye[1],p[2]-eye[2]];
+  const z=d[0]*f[0]+d[1]*f[1]+d[2]*f[2];
+  const x=d[0]*r[0]+d[1]*r[1]+d[2]*r[2], y=d[0]*u[0]+d[1]*u[1]+d[2]*u[2];
+  return [W/2+fl*x/z, H/2-fl*y/z, z];
+ }
+ const F=DATA.frames[k],polys=[];
+ for(let b=0;b<NB;b++){
+  const M=F[b],S=DATA.sides[b];
+  const P=CV.map(v=>{const x=v[0]*S[0],y=v[1]*S[1],z=v[2]*S[2];
+   return proj([M[0]*x+M[1]*y+M[2]*z+M[9], M[3]*x+M[4]*y+M[5]*z+M[10], M[6]*x+M[7]*y+M[8]*z+M[11]]);});
+  const hue=(b*67)%360;
+  for(const q of QF){
+   const zs=(P[q[0]][2]+P[q[1]][2]+P[q[2]][2]+P[q[3]][2])/4;
+   if(zs<=0.01)continue;
+   // flat shade by projected-area sign (cheap normal-ish cue)
+   const ax=P[q[1]][0]-P[q[0]][0],ay=P[q[1]][1]-P[q[0]][1];
+   const bx=P[q[3]][0]-P[q[0]][0],by=P[q[3]][1]-P[q[0]][1];
+   const shade=45+Math.min(30,Math.abs(ax*by-ay*bx)/(zs*zs)*3e4);
+   polys.push({z:zs,pts:q.map(i=>P[i]),c:'hsl('+hue+',60%,'+shade+'%)'});
+  }
+ }
+ // ground grid (z = DATA.floor_z if present, else skip)
+ if(DATA.floor_z!==null){
+  ctx.strokeStyle='#2a4a2a';ctx.beginPath();
+  const g=Math.ceil(rmax+1);
+  for(let i=-g;i<=g;i++){
+   const a=proj([cx+i,cy-g,DATA.floor_z]),b2=proj([cx+i,cy+g,DATA.floor_z]);
+   const c2=proj([cx-g,cy+i,DATA.floor_z]),d2=proj([cx+g,cy+i,DATA.floor_z]);
+   if(a[2]>0.01&&b2[2]>0.01){ctx.moveTo(a[0],a[1]);ctx.lineTo(b2[0],b2[1]);}
+   if(c2[2]>0.01&&d2[2]>0.01){ctx.moveTo(c2[0],c2[1]);ctx.lineTo(d2[0],d2[1]);}
+  }
+  ctx.stroke();
+ }
+ polys.sort((a,b2)=>b2.z-a.z);
+ for(const p of polys){
+  ctx.fillStyle=p.c;ctx.strokeStyle='#000';ctx.beginPath();
+  ctx.moveTo(p.pts[0][0],p.pts[0][1]);
+  for(let i=1;i<4;i++)ctx.lineTo(p.pts[i][0],p.pts[i][1]);
+  ctx.closePath();ctx.fill();ctx.stroke();
+ }
+ requestAnimationFrame(draw);
+}
+requestAnimationFrame(draw);
+</script></body></html>
+"""
+
+
+def export_html(scene, traj_q, out_path: str, sides=None, stride: int = 1,
+                floor_z=None) -> str:
+    """Self-contained interactive HTML trajectory viewer (no dependencies).
+
+    The live-viewer role of the reference's OpenGL app
+    (c++/PCG/src/main.cpp:194-439 + online/): orbit/zoom camera, play/pause,
+    frame scrubbing, per-body coloring, optional ground grid — rendered by a
+    vanilla-JS painter's-algorithm canvas embedded in one portable file
+    (open in any browser; works offline). The simulate/render thread split
+    of the reference becomes offline record (lax.scan history) + interactive
+    playback, which is the TPU-correct decomposition: the simulation runs
+    batched on the accelerator, the viewer consumes the recorded trajectory.
+
+    traj_q: [T, nr] recorded positions (make_simulate(record=True)).
+    sides: [nb, 3] cuboid sides (defaults to scene body specs when present).
+    Returns out_path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from redmax_tpu import model
+
+    traj_q = jnp.asarray(traj_q)[::stride]
+    kin = jax.vmap(
+        lambda q: model.forward_kinematics(
+            scene.topo, scene.params, q, jnp.zeros_like(q), scene.state0.aux
+        )
+    )(traj_q)
+    E = np.asarray(kin.E_wi, dtype=np.float64)          # [T, nb, 4, 4]
+    T, nb = E.shape[:2]
+    if sides is None:
+        specs = getattr(scene, "body_specs", None)
+        if specs:
+            sides = [
+                [1.0, 1.0, 1.0] if getattr(bs, "sides", None) is None
+                else list(np.asarray(bs.sides, dtype=float))
+                for bs in specs
+            ]
+        else:
+            sides = [[1.0, 1.0, 1.0]] * nb
+    else:
+        sides = np.asarray(sides, dtype=float).tolist()
+
+    if floor_z is None:
+        # auto-detect a ground plane from ground_cuboid force params (z-up)
+        for fn in getattr(scene, "force_fns", ()):
+            fp = scene.params.get("forces", {}).get(getattr(fn, "key", ""), {})
+            if "E" in fp and "kn" in fp:
+                floor_z = float(np.asarray(fp["E"])[2, 3])
+                break
+
+    frames = [
+        [
+            [round(float(v), 5)
+             for v in list(E[t, b, :3, :3].reshape(9)) + list(E[t, b, :3, 3])]
+            for b in range(nb)
+        ]
+        for t in range(T)
+    ]
+    h = scene.params.get("h")
+    data = {
+        "sides": sides,
+        "frames": frames,
+        "h": None if h is None else float(np.asarray(h)) * stride,
+        "floor_z": floor_z,
+    }
+    html = (_HTML_TEMPLATE
+            .replace("__NAME__", str(getattr(scene, "name", "scene")))
+            .replace("__DATA__", json.dumps(data)))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write(html)
+    return out_path
 
 
 def draw_scene(scene, q, ax=None, sides=None):

@@ -111,6 +111,7 @@ def make_rollout_batched(
     use_pallas: bool = None,
     interpret: bool = None,
     kernel_impl: str = "pallas",
+    backward: str = "reuse",
 ):
     """(params, tau [B,nr] or [nr], state0 [B,...]) -> final batched State.
 
@@ -123,6 +124,7 @@ def make_rollout_batched(
     step = integrators.make_bdf2_step_batched(
         topo, force_fns, cfg, differentiable=True,
         use_pallas=use_pallas, interpret=interpret, kernel_impl=kernel_impl,
+        backward=backward,
     )
 
     def rollout(params: Dict, tau, state0: State):
@@ -145,13 +147,15 @@ def make_objective_batched(
     use_pallas: bool = None,
     interpret: bool = None,
     kernel_impl: str = "pallas",
+    backward: str = "reuse",
 ):
     """(params, P [B,nr], state0 [B,...], x_targets [B,3]) -> objectives [B].
 
     Batched form of make_objective (same per-lane math: terminal point
     position + regularization, TaskBDF1PointPos.m:67-107)."""
     rollout = make_rollout_batched(
-        topo, force_fns, nsteps, cfg, use_pallas, interpret, kernel_impl
+        topo, force_fns, nsteps, cfg, use_pallas, interpret, kernel_impl,
+        backward=backward,
     )
     xl = jnp.asarray(xlocal)
 
@@ -278,6 +282,24 @@ def make_mpc_solver_batched(
     return solve
 
 
+def _mppi_combine(costs, cand, p0, temperature):
+    """Softmax-average candidates by cost with per-rollout failure masking
+    (SURVEY §5): a diverged (non-finite) candidate gets zero weight; if every
+    candidate diverged, fall back to p0 and report inf."""
+    finite = jnp.isfinite(costs)
+    costs = jnp.where(finite, costs, jnp.inf)
+    any_ok = jnp.any(finite)
+    w = jax.nn.softmax(jnp.where(any_ok, -costs / temperature,
+                                 jnp.zeros_like(costs)))
+    cand = jnp.where(any_ok, cand, p0[None])
+    p_new = jnp.einsum("s,s...->...", w, cand)
+    # Masked-lane weights are exactly 0 but their costs are inf, and
+    # 0 * inf = NaN — sum only the finite lanes, and report inf (not
+    # NaN) when every candidate diverged.
+    mean_cost = jnp.sum(jnp.where(finite, w * costs, 0.0))
+    return p_new, jnp.where(any_ok, mean_cost, jnp.inf)
+
+
 def make_mppi_solver(
     rollout_cost: Callable,
     n_samples: int = 256,
@@ -293,26 +315,45 @@ def make_mppi_solver(
     The candidate batch dimension composes with an outer vmap over tasks
     and shard_map over the ("rollout", "model") mesh (parallel.py), which
     is where the thousands-of-rollouts scale of BASELINE.json lives.
+
+    This vmapped form runs the op-soup step; make_mppi_solver_batched is
+    the production form that tiles the fused Pallas kernel.
     """
 
     def solve(key, params: Dict, p0, state0: State, x_target):
         eps = sigma * jax.random.normal(key, (n_samples,) + p0.shape, p0.dtype)
         cand = p0[None] + eps
         costs = jax.vmap(lambda p: rollout_cost(params, p, state0, x_target))(cand)
-        # Per-rollout failure masking (SURVEY §5): a diverged candidate must
-        # not poison the softmax average — treat non-finite cost as +inf
-        # (zero weight). If every candidate diverged, fall back to p0.
-        finite = jnp.isfinite(costs)
-        costs = jnp.where(finite, costs, jnp.inf)
-        any_ok = jnp.any(finite)
-        w = jax.nn.softmax(jnp.where(any_ok, -costs / temperature,
-                                     jnp.zeros_like(costs)))
-        cand = jnp.where(any_ok, cand, p0[None])
-        p_new = jnp.einsum("s,s...->...", w, cand)
-        # Masked-lane weights are exactly 0 but their costs are inf, and
-        # 0 * inf = NaN — sum only the finite lanes, and report inf (not
-        # NaN) when every candidate diverged.
-        mean_cost = jnp.sum(jnp.where(finite, w * costs, 0.0))
-        return p_new, jnp.where(any_ok, mean_cost, jnp.inf)
+        return _mppi_combine(costs, cand, p0, temperature)
+
+    return solve
+
+
+def make_mppi_solver_batched(
+    objective_batched: Callable,
+    n_samples: int = 256,
+    sigma: float = 0.3,
+    temperature: float = 1.0,
+):
+    """MPPI over an explicitly-batched objective (make_objective_batched):
+    the candidate axis IS the batch axis, so the forward rollouts tile the
+    fused Pallas chord kernel instead of running the vmapped op-soup step.
+
+    objective_batched(params, P [S,nr], state0 [S,...], x_targets [S,3])
+    -> costs [S]. solve(key, params, p0 [nr], state0 (unbatched), x_target
+    [3]) -> (p_new [nr], mean_cost) — same semantics (and same RNG draw
+    shape) as make_mppi_solver, gated equal in tests/test_mpc features.
+    """
+
+    def solve(key, params: Dict, p0, state0: State, x_target):
+        eps = sigma * jax.random.normal(key, (n_samples,) + p0.shape, p0.dtype)
+        cand = p0[None] + eps
+        s0b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_samples,) + jnp.shape(x)),
+            state0,
+        )
+        tgts = jnp.broadcast_to(x_target, (n_samples,) + jnp.shape(x_target))
+        costs = objective_batched(params, cand, s0b, tgts)
+        return _mppi_combine(costs, cand, p0, temperature)
 
     return solve

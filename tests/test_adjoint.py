@@ -74,6 +74,32 @@ def test_mppi_solver_reduces_objective():
     assert float(c1) <= float(c0) + 1e-9
 
 
+def test_mppi_batched_matches_vmapped():
+    """make_mppi_solver_batched (candidates = lanes of the explicitly
+    batched objective, the pipeline that tiles the Pallas kernel on TPU)
+    == make_mppi_solver (vmapped op-soup rollout) for the same key."""
+    sc = build_scene(100)
+    task = mpc.PointPosTask(body=1, wp=1.0, wreg=1e-5, pscale=1e4)
+    xlocal = jnp.array([5.0, 0.0, 0.0])
+    nsteps = 5
+    obj = mpc.make_objective(
+        sc.topo, sc.force_fns, task, xlocal, nsteps, "bdf2"
+    )
+    obj_b = mpc.make_objective_batched(
+        sc.topo, sc.force_fns, task, xlocal, nsteps, use_pallas=False
+    )
+    p = jnp.asarray(RNG.normal(size=sc.topo.nr))
+    target = jnp.array([8.0, 0.0, 4.0])
+    key = jax.random.PRNGKey(1)
+    s_v = mpc.make_mppi_solver(obj, n_samples=16, sigma=0.3)
+    s_b = mpc.make_mppi_solver_batched(obj_b, n_samples=16, sigma=0.3)
+    p_v, c_v = jax.jit(s_v)(key, sc.params, p, sc.state0, target)
+    p_b, c_b = jax.jit(s_b)(key, sc.params, p, sc.state0, target)
+    assert np.isfinite(float(c_v))
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_v), atol=1e-8)
+    np.testing.assert_allclose(float(c_b), float(c_v), atol=1e-8)
+
+
 def test_lbfgs_solver_reduces_objective():
     """Quasi-Newton path (fminunc parity, driverRedMaxAdjointBDF1.m:17-23)."""
     sc, obj, p, target = _setup("bdf1", nsteps=8)
