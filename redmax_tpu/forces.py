@@ -421,6 +421,81 @@ class ForceGroundCuboid(_ForceBase):
         return 0.5 * fp["kn"] * jnp.sum(jnp.where(d <= 0, d * d, 0.0))
 
 
+def ground_contact_blocks(E_wi_b, phi_b, fp, h=None, gmag=None):
+    """Closed-form per-body (K [6,6], D [6,6]) blocks of ForceGroundCuboid,
+    vectorized over the 8 corners — the VALUES equal
+    pallas_step._ground_contact(want_blocks=True) (gated in
+    tests/test_pallas_step.py) but trace as a handful of batched einsums
+    instead of ~26k scalar ops, keeping structured_hessian's compile time
+    flat. K = d(wrench)/d(xi) under E <- E exp(xi^), D = d(wrench)/d(phi),
+    with the one-step proximity-margin H activation when (h, gmag) given
+    (see pallas_step._ground_contact / benchmarks/CONTACT_NOTES.md).
+    """
+    dtype = phi_b.dtype
+    E_g = fp["E"]
+    xg = E_g[:3, 3]
+    ng = E_g[:3, 2]
+    kn, kt, kd, mu = fp["kn"], fp["kt"], fp["kd"], fp["mu"]
+    R = E_wi_b[:3, :3]
+    p = E_wi_b[:3, 3]
+    w, v = phi_b[:3], phi_b[3:]
+
+    r = 0.5 * fp["sides"] * _CORNERS.astype(dtype)            # [8,3]
+    xc = r @ R.T + p
+    d = (xc - xg) @ ng                                        # [8]
+    active = (d <= 0).astype(dtype)
+    u = jnp.cross(jnp.broadcast_to(w, (8, 3)), r) + v         # Gamma(r) phi
+    vw = u @ R.T
+    vn = vw @ ng
+    a = vw - vn[:, None] * ng
+    a2 = jnp.sum(a * a, axis=-1)
+    flow = (a2 >= 1e-24).astype(dtype)
+    anorm = jnp.sqrt(jnp.maximum(a2, 1e-24))
+    ainv = 1.0 / anorm
+    st = (mu * jnp.abs(kn * d) > kt * anorm).astype(dtype)
+    hf = (mu > 0).astype(dtype)
+    dyn = hf * (1.0 - st) * active
+    sta = hf * st * active
+
+    fc = -kn * d[:, None] * ng - kd * vn[:, None] * ng
+    fW = active[:, None] * fc + sta[:, None] * (-kt * a) \
+        + dyn[:, None] * (-mu * kn) * d[:, None] * a * ainv[:, None]
+    fb = fW @ R                                               # R^T fW rows
+
+    act_h = active
+    if h is not None:
+        margin = h * jnp.abs(vn) + h * h * gmag
+        act_h = active + (1.0 - active) * ((d - margin) <= 0).astype(dtype)
+
+    nn = jnp.outer(ng, ng)
+    T = jnp.eye(3, dtype=dtype) - nn
+    A3 = act_h[:, None, None] * (-kn) * nn \
+        + dyn[:, None, None] * (-mu * kn) * jnp.einsum(
+            "ci,j->cij", a * ainv[:, None], ng)
+    cdyn = dyn * (-mu * kn) * d * ainv
+    B3 = act_h[:, None, None] * (-kd) * nn \
+        + (sta * (-kt) + cdyn)[:, None, None] * T \
+        - (cdyn * flow * ainv * ainv)[:, None, None] * jnp.einsum(
+            "ci,cj->cij", a, a)
+
+    P = jnp.einsum("ki,ckl,lj->cij", R, A3, R)                # R^T A R
+    Q = jnp.einsum("ki,ckl,lj->cij", R, B3, R)
+    hr = se3.hat3(r)                                          # [8,3,3]
+    hfb = se3.hat3(fb)
+    hu = se3.hat3(u)
+    ML = hfb - P @ hr - Q @ hu
+    DL = -(Q @ hr)
+    K = jnp.concatenate([
+        jnp.concatenate([hr @ ML, hr @ P], axis=-1),
+        jnp.concatenate([ML, P], axis=-1),
+    ], axis=-2).sum(axis=0)
+    D = jnp.concatenate([
+        jnp.concatenate([hr @ DL, hr @ Q], axis=-1),
+        jnp.concatenate([DL, Q], axis=-1),
+    ], axis=-2).sum(axis=0)
+    return K, D
+
+
 class ForceDeformableSegments(_ForceBase):
     """Serial mass-spring segment forces for a DeformableSpring.
 

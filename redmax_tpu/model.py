@@ -353,34 +353,16 @@ def structured_hessian(
         Kt = Kt + J.T @ (Km @ J)
         Dt = Dt + J.T @ (Dm @ J)
     if gnd:
-        from redmax_tpu import pallas_step
+        from redmax_tpu.forces import ground_contact_blocks
 
         hh = params["h"]
         gmag = jnp.sqrt(jnp.sum(params["g"] * params["g"]))
         Jblk3 = J.reshape(N, 6, nr)
         for fn in gnd:
             b = fn.body
-            fp = params["forces"][fn.key]
-            E_g = fp["E"]
-            cp = {
-                "sides": [fp["sides"][k] for k in range(3)],
-                "kn": fp["kn"], "kt": fp["kt"], "kd": fp["kd"],
-                "mu": fp["mu"],
-                "xg": [E_g[k, 3] for k in range(3)],
-                "ng": [E_g[k, 2] for k in range(3)],
-            }
-            Eb = kin.E_wi[b]
-            Epair = ([[Eb[i, j] for j in range(3)] for i in range(3)],
-                     [Eb[i, 3] for i in range(3)])
-            ph_b = [phi[b][k] for k in range(6)]
-            _, Kc, Dc = pallas_step._ground_contact(
-                Epair, ph_b, cp, dtype, jnp, want_blocks=True,
-                hpred=(hh, gmag),
+            Kc, Dc = ground_contact_blocks(
+                kin.E_wi[b], phi[b], params["forces"][fn.key], hh, gmag
             )
-            Kc = jnp.stack([jnp.stack([jnp.broadcast_to(Kc[i][j], ())
-                                       for j in range(6)]) for i in range(6)])
-            Dc = jnp.stack([jnp.stack([jnp.broadcast_to(Dc[i][j], ())
-                                       for j in range(6)]) for i in range(6)])
             Jb = Jblk3[b]                                   # [6, nr]
             Kt = Kt + Jb.T @ (Kc.astype(dtype) @ Jb)
             Dt = Dt + Jb.T @ (Dc.astype(dtype) @ Jb)

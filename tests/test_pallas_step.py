@@ -386,6 +386,22 @@ def test_contact_blocks_match_jacfwd():
         np.testing.assert_allclose(np.array(K), np.asarray(K_ref), atol=1e-9)
         np.testing.assert_allclose(np.array(D), np.asarray(D_ref), atol=1e-9)
 
+        # the VECTORIZED jax blocks (forces.ground_contact_blocks — what
+        # structured_hessian compiles) == the scalar lane-block code, WITH
+        # the proximity-margin H activation on both sides
+        from redmax_tpu.forces import ground_contact_blocks
+
+        hh, gm = 0.01, float(np.linalg.norm(np.asarray(params["g"])))
+        _, Km, Dm = pallas_step._ground_contact(
+            Epair, ph, cp, np.float64, np, want_blocks=True, hpred=(hh, gm)
+        )
+        Kv, Dv = ground_contact_blocks(
+            kin.E_wi[b], phi[b], fp, jnp.asarray(hh, jnp.float64),
+            jnp.asarray(gm, jnp.float64),
+        )
+        np.testing.assert_allclose(np.asarray(Kv), np.array(Km), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Dv), np.array(Dm), atol=1e-10)
+
 
 def test_contact_rollout_matches_vmap_fallback():
     """Chain dropped onto the floor: numpy-oracle stepping of the pallas
