@@ -1,21 +1,19 @@
-"""Measured scope-cut ablation: q-dependent-S joints vs the fused kernel.
+"""Measured q-dependent-S ablation: every joint tier on the fused kernel.
 
-The fused Pallas chord kernel covers the constant-S joint types, ground
-contact, and (round 4) UNIVERSAL with its closed-form S(q)/Sdot
-(JointUniversal.m:74-130). SPHERICAL (exp-map, JointSphericalExp.m:49)
-stays on the vmapped fallback: its S is the Taylor-guarded SO(3) body
-Jacobian and it needs per-step reparam. This script measures the scope
-decision: MPC solves/s in the IDENTICAL batched pipeline for
+r4 measured the scope CUT: SPHERICAL (exp-map) forced the vmapped fallback
+at a 4.46x penalty (2103 vs 9388 solves/s). r5 put the exp-map S — the
+SO(3) right Jacobian, closed form per lane (pallas_step._so3_exp_S,
+JointSphericalExp.m:49-91) — inside the kernel, plus the per-step rescale
+reparam outside it. This script now measures all tiers in the IDENTICAL
+batched MPC pipeline:
 
   rev12_kernel    12 revolute joints (nr=12), fused kernel
   rev12_vmap      12 revolute joints,          vmapped fallback
   uni6_kernel     6 universal joints (nr=12),  fused kernel (S(q) per lane)
   uni6_vmap       6 universal joints,          vmapped fallback
-  sph4_vmap       4 spherical(exp) joints (nr=12), vmapped fallback
+  sph4_kernel     4 spherical(exp) joints (nr=12), fused kernel (r5)
+  sph4_vmap       4 spherical(exp) joints,     vmapped fallback
 
-The rev12/uni6 kernel-vs-vmap ratios show what the kernel buys at equal
-nr; the sph4 row is the measured cost a ball-joint MPC problem pays today
-(bounded above by the uni6 ratio if the spherical S were ever added).
 Writes benchmarks/qdep_ablation.json.
 
 Usage: python benchmarks/qdep_ablation.py [--batch 1024] [--horizon 50]
@@ -117,8 +115,9 @@ def main():
     scu = _chain("universal", 6)
     rows["uni6_kernel"] = run(scu, True, args.batch, args.horizon)
     rows["uni6_vmap"] = run(scu, False, args.batch, args.horizon)
-    rows["sph4_vmap"] = run(_chain("spherical", 4), False, args.batch,
-                            args.horizon)
+    scs = _chain("spherical", 4)
+    rows["sph4_kernel"] = run(scs, True, args.batch, args.horizon)
+    rows["sph4_vmap"] = run(scs, False, args.batch, args.horizon)
 
     out = {
         "metric": "q-dependent-S scope-cut ablation "
@@ -132,7 +131,10 @@ def main():
         "uni6_kernel_gain": round(
             rows["uni6_kernel"]["solves_per_s"]
             / rows["uni6_vmap"]["solves_per_s"], 3),
-        "spherical_penalty_vs_rev_kernel": round(
+        "sph4_kernel_gain": round(
+            rows["sph4_kernel"]["solves_per_s"]
+            / rows["sph4_vmap"]["solves_per_s"], 3),
+        "spherical_penalty_vs_rev_kernel_r4": round(
             rows["rev12_kernel"]["solves_per_s"]
             / rows["sph4_vmap"]["solves_per_s"], 3),
     }

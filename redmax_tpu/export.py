@@ -217,12 +217,17 @@ def _native_export():
     src = os.path.join(csrc, "export.c")
     try:
         # binaries are untracked (repo hygiene) — build on demand, like
-        # mesh._native()
+        # mesh._native(). Build to a temp name and os.rename into place so
+        # a killed build can never leave a loadable-but-corrupt _export.so
+        # (rename is atomic on POSIX; mtime alone can't tell a truncated
+        # artifact from a good one).
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            tmp = so + f".tmp.{os.getpid()}"
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.rename(tmp, so)
         lib = ctypes.CDLL(so)
         lib.write_frames_obj.restype = ctypes.c_int
         lib.write_frames_obj.argtypes = [

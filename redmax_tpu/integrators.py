@@ -88,12 +88,18 @@ class NewtonConfig:
     # `break`s with a message, driverRedMaxBDF1.m:118-121; under vmap a NaN
     # lane would poison pmean-reduced objectives instead).
     dx_clamp: float = 0.0
-    # Guarded chord: after each fixed chord iteration, re-evaluate the
-    # residual and halve the step (once, branchlessly) where |g| grew. Both
-    # the full-step and half-step trial residuals are evaluated each
-    # iteration (TWO extra residual assemblies per iteration under jit —
-    # lax.select has no short circuit); turns the n>=20-link chain from NaN
-    # into a converged solve while keeping static control flow.
+    # Guarded solve: after each fixed iteration, accept the full step if the
+    # trial residual improved, else the half step if IT improved, else stay
+    # put — branchless over lanes. Works with chord=True (frozen H) and
+    # chord=False (H re-evaluated each iteration), matching the fused kernel
+    # in both modes. Both trial residuals are evaluated each iteration (TWO
+    # extra residual assemblies — lax.select has no short circuit); turns
+    # the n>=20-link chain from NaN into a converged solve while keeping
+    # static control flow. Rejection semantics: a lane that hit the
+    # stay-put branch is only REJECTED (NaN-poisoned) when the solve never
+    # meaningfully improved — final |g| > 0.5 * initial |g| (the stall
+    # threshold); lanes that stalled after the residual already dropped
+    # below half keep their half-resolved step.
     guarded: bool = False
     # Fixed-iteration failure detection (none of these run a line search, so
     # a solve can end finite but far from the root; such lanes must not pass
@@ -162,38 +168,46 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
         g0n = None       # initial residual norm (set at first residual eval)
         gln = None       # last measured residual norm
         stayput = jnp.asarray(False)
-        if cfg.chord:
+        if cfg.guarded:
+            # Guarded solve (chord OR re-evaluated-H — identical guard flow
+            # to the fused kernel, so kernel-on/off stays behavior-equal).
             F = factor(jac_fn(x0))
-            if cfg.guarded:
+            g = res_fn(x)
+            gn = jnp.linalg.norm(g)
+            g0n = gn
+            for it in range(cfg.fixed_iters):
+                if not cfg.chord and it > 0:
+                    F = factor(jac_fn(x))
+                dx = clamp(solve(F, g))
+                g_full = res_fn(x - dx)
+                # NaN-safe acceptance: a non-finite trial residual must
+                # count as "grew" (NaN comparisons are False, so test
+                # improvement, not growth).
+                gfn = jnp.linalg.norm(g_full)
+                ok_full = gfn <= gn
+                x_half = x - 0.5 * dx
+                g_half = res_fn(x_half)
+                # the half step must IMPROVE too: accepting any finite
+                # half walks straight into an exploding residual at a
+                # contact/regime flip (observed |g| ~ 6e17 accepted).
+                ghn = jnp.linalg.norm(g_half)
+                ok_half = ghn <= gn
+                # full step if it improved; else half step if improved;
+                # else stay put (non-fatal when the solve already
+                # improved — see the stalled test below).
+                stayput = stayput | (~ok_full & ~ok_half)
+                x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
+                g = jnp.where(ok_full, g_full, jnp.where(ok_half, g_half, g))
+                gn = jnp.where(ok_full, gfn, jnp.where(ok_half, ghn, gn))
+            gln = gn  # exact: g tracks the final iterate
+        elif cfg.chord:
+            F = factor(jac_fn(x0))
+            for _ in range(cfg.fixed_iters):
                 g = res_fn(x)
-                g0n = jnp.linalg.norm(g)
-                for _ in range(cfg.fixed_iters):
-                    dx = clamp(solve(F, g))
-                    g_full = res_fn(x - dx)
-                    # NaN-safe acceptance: a non-finite trial residual must
-                    # count as "grew" (NaN comparisons are False, so test
-                    # improvement, not growth).
-                    ok_full = jnp.linalg.norm(g_full) <= jnp.linalg.norm(g)
-                    x_half = x - 0.5 * dx
-                    g_half = res_fn(x_half)
-                    # the half step must IMPROVE too: accepting any finite
-                    # half walks straight into an exploding residual at a
-                    # contact/regime flip (observed |g| ~ 6e17 accepted).
-                    ok_half = jnp.linalg.norm(g_half) <= jnp.linalg.norm(g)
-                    # full step if it improved; else half step if improved;
-                    # else stay put (non-fatal when the solve already
-                    # improved — see the stalled test below).
-                    stayput = stayput | (~ok_full & ~ok_half)
-                    x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
-                    g = jnp.where(ok_full, g_full, jnp.where(ok_half, g_half, g))
-                gln = jnp.linalg.norm(g)  # exact: g tracks the final iterate
-            else:
-                for _ in range(cfg.fixed_iters):
-                    g = res_fn(x)
-                    gn = jnp.linalg.norm(g)
-                    g0n = gn if g0n is None else g0n
-                    gln = gn  # residual at the PRE-update iterate (1 stale)
-                    x = x - clamp(solve(F, g))
+                gn = jnp.linalg.norm(g)
+                g0n = gn if g0n is None else g0n
+                gln = gn  # residual at the PRE-update iterate (1 stale)
+                x = x - clamp(solve(F, g))
         else:
             F = None
             for _ in range(cfg.fixed_iters):
@@ -600,6 +614,51 @@ def bdf2_init(state: State) -> Bdf2State:
     )
 
 
+# Per-lane physical parameters in the batched pipeline (r5): any of these
+# params may carry a leading batch dim [B, ...] — the scenario-sampling /
+# system-identification dimension of BASELINE.json (domain-randomized
+# inertia, timestep, gravity, contact and spring coefficients). The base
+# (unbatched) ndim is listed; a leaf with ndim == base + 1 is per-lane.
+_BATCHABLE = {"tau": 1, "I_i": 2, "g": 1, "h": 0, "body_damping": 1}
+# Scalar per-force coefficients that may be [B] (params["forces"][key][p]).
+_FORCE_BATCHABLE = ("kn", "kt", "kd", "mu", "k", "d", "L")
+
+
+def split_batched_params(params: Dict):
+    """(shared, batched): split params into lane-shared leaves and the
+    per-lane [B, ...] leaves declared in _BATCHABLE / _FORCE_BATCHABLE."""
+    shared = dict(params)
+    batched = {}
+    for k, nd in _BATCHABLE.items():
+        v = params.get(k)
+        if v is not None and getattr(v, "ndim", None) == nd + 1:
+            batched[k] = shared.pop(k)
+    forces = params.get("forces")
+    if forces:
+        bf, sf = {}, {}
+        for key, fp in forces.items():
+            bsub = {p: v for p, v in fp.items()
+                    if p in _FORCE_BATCHABLE and getattr(v, "ndim", 0) == 1}
+            sf[key] = {p: v for p, v in fp.items() if p not in bsub}
+            if bsub:
+                bf[key] = bsub
+        if bf:
+            batched["forces"] = bf
+            shared["forces"] = sf
+    return shared, batched
+
+
+def merge_batched_params(shared: Dict, lane: Dict) -> Dict:
+    """Re-assemble one lane's params from (shared, per-lane slice)."""
+    out = {**shared, **{k: v for k, v in lane.items() if k != "forces"}}
+    if "forces" in lane:
+        f = dict(shared.get("forces", {}))
+        for key, sub in lane["forces"].items():
+            f[key] = {**f.get(key, {}), **sub}
+        out["forces"] = f
+    return out
+
+
 def make_bdf2_step_batched(
     topo: Topology,
     force_fns: Tuple = (),
@@ -664,11 +723,25 @@ def make_bdf2_step_batched(
     elif use_pallas and not qualifies:
         raise ValueError("scene/config not supported by the pallas fast path")
 
+    # Validate `backward` up front: silently falling back to the biased
+    # reuse-path gradients when the kernel path is not taken would hand a
+    # user who explicitly requested FD-tight gradients the wrong thing.
+    if backward not in ("reuse", "refresh", "exact"):
+        raise ValueError(f"backward={backward!r}")
+    if differentiable and backward != "reuse" and not use_pallas:
+        raise ValueError(
+            f"backward={backward!r} only applies to the kernel pipeline; "
+            "this scene/config routes to the vmapped fallback — use "
+            "cfg.hessian='exact' (with full fixed iterations) for FD-tight "
+            "fallback gradients instead"
+        )
+
     base = make_bdf2_step(topo, force_fns, cfg, differentiable=differentiable)
 
     def _vmap_params(fn):
-        """vmap fn(params, s) over the batch dim of s (+ params['tau'] when
-        per-lane); the step counter k may be scalar (shared across lanes)."""
+        """vmap fn(params, s) over the batch dim of s plus every per-lane
+        [B, ...] param (split_batched_params: tau, I_i, h, g, contact/spring
+        coefficients); the step counter k may be scalar (lanes in lock-step)."""
 
         def run(params: Dict, s: Bdf2State):
             ax = Bdf2State(
@@ -676,12 +749,12 @@ def make_bdf2_step_batched(
                 k=None if s.k.ndim == 0 else 0,
                 aux=jax.tree_util.tree_map(lambda _: 0, s.aux),
             )
-            tau = params["tau"]
-            if tau.ndim == 2:
+            shared, lane = split_batched_params(params)
+            if lane:
                 return jax.vmap(
-                    lambda t, ss: fn({**params, "tau": t}, ss),
+                    lambda lp, ss: fn(merge_batched_params(shared, lp), ss),
                     in_axes=(0, ax), out_axes=ax,
-                )(tau, s)
+                )(lane, s)
             return jax.vmap(lambda ss: fn(params, ss), in_axes=(ax,), out_axes=ax)(s)
 
         return run
@@ -701,17 +774,18 @@ def make_bdf2_step_batched(
     def _res2b(theta, x):
         """Batched BDF2 residual: theta = (params, q0, qd0, q1, qd1) with
         [B, nr] state levels; x [B, nr]. Exact (pure JAX) — this is what the
-        adjoint differentiates, not the kernel."""
+        adjoint differentiates, not the kernel. Per-lane params (tau, I_i,
+        h, ...) vmap alongside the state."""
         params, q0, qd0, q1, qd1 = theta
-        tau = params["tau"]
+        shared, lane = split_batched_params(params)
 
-        def one(taui, q0i, qd0i, q1i, qd1i, xi):
-            p = {**params, "tau": taui}
+        def one(lp, q0i, qd0i, q1i, qd1i, xi):
+            p = merge_batched_params(shared, lp)
             return residual_bdf2(topo, force_fns, p, xi, q0i, qd0i, q1i, qd1i)
 
-        if tau.ndim == 2:
-            return jax.vmap(one)(tau, q0, qd0, q1, qd1, x)
-        return jax.vmap(partial(one, tau))(q0, qd0, q1, qd1, x)
+        if lane:
+            return jax.vmap(one)(lane, q0, qd0, q1, qd1, x)
+        return jax.vmap(partial(one, {}))(q0, qd0, q1, qd1, x)
 
     def _plain(theta, x0):
         params, q0, qd0, q1, qd1 = theta
@@ -729,18 +803,20 @@ def make_bdf2_step_batched(
             if backward == "reuse":
                 return jnp.einsum("bsr,bs->br", Hinv, xbar.astype(Hinv.dtype))
             params, q0, qd0, q1, qd1 = theta
-            tau = params["tau"]
-            tau_b = tau if tau.ndim == 2 else jnp.broadcast_to(tau, x.shape)
+            shared, lane = split_batched_params(params)
 
-            def Hof(ti, a, b, c, d, xi):
-                p = {**params, "tau": ti}
+            def Hof(lp, a, b, c, d, xi):
+                p = merge_batched_params(shared, lp)
                 if backward == "refresh":
                     return _hessb((p, a, b, c, d, {}), xi)
                 return jax.jacfwd(lambda xx: residual_bdf2(
                     topo, force_fns, p, xx, a, b, c, d, {}
                 ))(xi)
 
-            H = jax.vmap(Hof)(tau_b, q0, qd0, q1, qd1, x)
+            if lane:
+                H = jax.vmap(Hof)(lane, q0, qd0, q1, qd1, x)
+            else:
+                H = jax.vmap(partial(Hof, {}))(q0, qd0, q1, qd1, x)
             if _solve_T is not None:
                 return jax.vmap(_solve_T)(H, xbar.astype(H.dtype))
             return jnp.linalg.solve(
@@ -767,10 +843,21 @@ def make_bdf2_step_batched(
 
         psolve.defvjp(_pfwd, _pbwd)
 
+    # Exp-map joints (SPHERICAL / FREE3D) need the post-step rescale reparam
+    # (JointSphericalExp.m:31-46); it runs OUTSIDE the kernel, vmapped over
+    # lanes, exactly where the fallback's _reparam applies reparam_all
+    # (exp-type reparam touches q/qdot only, never the BDF2 history).
+    from redmax_tpu.joints import KERNELS as _JK
+    from redmax_tpu.types import JointType as _JT
+
+    needs_reparam = any(_JK[_JT(t)].reparam_fn is not None for t in topo.jtype)
+
     def inner(params: Dict, s: Bdf2State) -> Bdf2State:
         q0, qd0 = s.q_prev, s.qdot_prev
         q1, qd1 = s.q, s.qdot
         h = params["h"]
+        if getattr(h, "ndim", 0) == 1:
+            h = h[:, None]               # per-lane timestep [B] -> [B, 1]
         guess = q1 + h * qd1
         if cfg.predictor == "quadratic":
             guess = guess + 0.5 * h * (qd1 - qd0)
@@ -778,8 +865,10 @@ def make_bdf2_step_batched(
         q2 = (psolve if differentiable else _plain)(theta, guess)
         q2 = q2.astype(q1.dtype)  # kernel is f32; keep the carry dtype stable
         qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
-        # Kernel-supported joint types (constant-S + universal) have no
-        # reparam_fn (KERNELS table), so inner() skips reparam_all.
+        if needs_reparam:
+            q2, qdot2 = jax.vmap(
+                lambda qq, qd: reparam_all(topo, params, qq, qd, s.aux)[:2]
+            )(q2, qdot2)
         return Bdf2State(
             q=q2, qdot=qdot2, q_prev=q1, qdot_prev=qd1, k=s.k + 1, aux=s.aux
         )

@@ -16,17 +16,23 @@ pallas_call with topology unrolled at trace time (static python loops over
 joints; the per-scene kernel is compiled once and cached).
 
 Scope (the production MPC regime): the constant-S joint types — FIXED /
-REVOLUTE / PRISMATIC / PLANAR / TRANSLATIONAL — plus UNIVERSAL (q-dependent
-S(q)/Sdot as closed forms per lane, JointUniversal.m:74-130), with the
-built-in joint-space forces (tau, stiffness, damping, penalty limits,
-Joint.m:437-487), maximal Coriolis + gravity + body viscous damping
-(Body.computeMassGrav, Body.m:83-135), and penalty ground contact
-(ForceGroundCuboid — the differentiable-contact flagship,
+REVOLUTE / PRISMATIC / PLANAR / TRANSLATIONAL — plus the q-dependent-S
+closed forms per lane: UNIVERSAL (JointUniversal.m:74-130), SPHERICAL (the
+exp-map ball joint — S is the SO(3) right Jacobian, _so3_exp_S below,
+JointSphericalExp.m:49-91) and FREE3D (translation + ball,
+JointFree3D.m) — with the built-in joint-space forces (tau, stiffness,
+damping, penalty limits, Joint.m:437-487), maximal Coriolis + gravity +
+body viscous damping (Body.computeMassGrav, Body.m:83-135), penalty ground
+contact (ForceGroundCuboid — the differentiable-contact flagship,
 matlab-diff/+redmax/ForceGroundCuboid.m:54-153): the 8-corner 3-regime
 contact force and its closed-form per-body K/D blocks run inside the kernel
 (_ground_contact below), matching the vmapped path's jacfwd blocks exactly
-(frozen active/static masks have zero derivative through .astype). Other
-closure forces fall back. `supports()` reports whether a scene qualifies;
+(frozen active/static masks have zero derivative through .astype) — and the
+two-point spring closures ForcePointPoint / ForceSpringDamper
+(ForcePointPoint.m:48-141, ForceSpringGeneric.m:37-83) with closed-form
+PAIRWISE K/D lane blocks, including the cross blocks coupling the two
+bodies (_spring_force below). Other closure forces (cables, SpringDamperM,
+deformables) fall back. `supports()` reports whether a scene qualifies;
 integrators.make_bdf2_step_batched falls back to the vmapped JAX path
 otherwise. Everything here is forward-only:
 the adjoint path differentiates the pure-JAX residual (adjoint.py), so the
@@ -65,25 +71,35 @@ TILE = LANES[0] * LANES[1]
 _ORACLE_DIAG = {}
 
 # Kernel-covered joint types. The constant-S types (S q-independent in the
-# joint frame -> Sbdot = 0) plus UNIVERSAL, whose S(q)/Sdot are small closed
-# forms evaluated per lane in fk_and_J. SPHERICAL (exp-map) stays on the
-# vmapped fallback: its S is the SO(3) body Jacobian (Taylor-guarded series)
-# and it needs per-step reparam — the measured cost of that scope cut is
-# committed in benchmarks/qdep_ablation.json.
+# joint frame -> Sbdot = 0) plus the q-dependent-S closed forms evaluated per
+# lane in fk_and_J: UNIVERSAL (r4), and (r5) SPHERICAL — the exp-map ball
+# joint, whose S is the SO(3) right/body Jacobian
+# Jr(w) = I - a(s) W + b(s) W^2, s = |w|^2 (JointSphericalExp.m:49-91) — and
+# FREE3D (translation + exp-map ball, JointFree3D.m). Their per-step exp-map
+# rescale reparam runs OUTSIDE the kernel between steps
+# (integrators.make_bdf2_step_batched.inner). SPHERICAL_EULER / splines /
+# FREE_ST stay on the vmapped fallback.
 _SUPPORTED = {JointType.FIXED, JointType.REVOLUTE, JointType.PRISMATIC,
-              JointType.PLANAR, JointType.TRANSLATIONAL, JointType.UNIVERSAL}
+              JointType.PLANAR, JointType.TRANSLATIONAL, JointType.UNIVERSAL,
+              JointType.SPHERICAL, JointType.FREE3D}
 
 
 def supports(topo: Topology, force_fns: Tuple) -> bool:
     """True when the fused kernel covers this scene's step exactly.
 
-    Force closures: penalty ground contact (ForceGroundCuboid) is computed
-    inside the kernel; any other force type routes to the vmapped fallback.
+    Force closures computed inside the kernel: penalty ground contact
+    (ForceGroundCuboid), and (r5) the two-point spring closures
+    ForcePointPoint / ForceSpringDamper with closed-form pairwise K/D
+    lane blocks (_spring_force below). Any other force type (cables,
+    SpringDamperM, deformables) routes to the vmapped fallback.
     """
-    from redmax_tpu.forces import ForceGroundCuboid
+    from redmax_tpu.forces import (ForceGroundCuboid, ForcePointPoint,
+                                   ForceSpringDamper)
 
-    if not all(isinstance(f, ForceGroundCuboid) for f in force_fns):
-        return False
+    for f in force_fns:
+        if type(f) not in (ForceGroundCuboid, ForcePointPoint,
+                           ForceSpringDamper):
+            return False
     return all(JointType(t) in _SUPPORTED for t in topo.jtype)
 
 
@@ -327,20 +343,200 @@ def _ground_contact(E, phi_i, cp, f32, xp, want_blocks: bool, hpred=None):
     return wrench, K, D
 
 
+def _so3_exp_S(w, wd, xp):
+    """Rodrigues R = exp(hat(w)) plus the exp-map motion subspace in closed
+    form, per lane: S = unhat3(R^T dR/dw_k) = the SO(3) right/body Jacobian
+
+        Jr(w) = I - a(s) W + b(s) W^2,   s = |w|^2, W = hat(w),
+        a = (1-cos t)/t^2, b = (t-sin t)/t^3   (t = |w|)
+
+    and Sdot = (dS/dw) wd = -a'(s) sdot W - a Wd + b'(s) sdot W^2
+    + b (Wd W + W Wd) with sdot = 2 w.wd, Wd = hat(wd). Every coefficient is
+    a SMOOTH, EVEN function of t written in s, with a Taylor branch below
+    s = 0.04 where the trig formulas cancel catastrophically in f32 (the
+    same guard family as se3.exp_so3). Matches joints.derive_S /
+    jax.jvp(S_fn) to machine precision (tests/test_pallas_step.py).
+
+    Reference: JointSphericalExp.update_ (matlab/+redmax/
+    JointSphericalExp.m:49-91) computes the same closed-form S.
+    Returns (R [3x3], S [3x3], Sdot [3x3]) as lane-block entry lists.
+    """
+    s = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    sg = xp.maximum(s, 1e-12)
+    th = xp.sqrt(sg)
+    sn, cs = xp.sin(th), xp.cos(th)
+    small = s < 0.04
+
+    def pick(t, f):
+        return xp.where(small, t, f)
+
+    c1 = pick(1.0 - s / 6.0 + s * s / 120.0, sn / th)
+    a = pick(0.5 - s / 24.0 + s * s / 720.0, (1.0 - cs) / sg)
+    b = pick(1.0 / 6.0 - s / 120.0 + s * s / 5040.0, (th - sn) / (sg * th))
+    ap = pick(-1.0 / 24.0 + s / 360.0 - s * s / 13440.0,
+              (th * sn * 0.5 - (1.0 - cs)) / (sg * sg))
+    bp = pick(-1.0 / 120.0 + s / 2520.0 - s * s / 120960.0,
+              ((1.0 - cs) * th - 3.0 * (th - sn)) / (2.0 * sg * sg * th))
+
+    W = _hat(w)
+    Wd = _hat(wd)
+    W2 = [[w[i] * w[j] - (s if i == j else 0.0) for j in range(3)]
+          for i in range(3)]
+    eye = [[1.0 if i == j else 0.0 for j in range(3)] for i in range(3)]
+    R = [[eye[i][j] + c1 * W[i][j] + a * W2[i][j] for j in range(3)]
+         for i in range(3)]
+    S = [[eye[i][j] - a * W[i][j] + b * W2[i][j] for j in range(3)]
+         for i in range(3)]
+    sd = 2.0 * (w[0] * wd[0] + w[1] * wd[1] + w[2] * wd[2])
+    WdW = _mat3_mul(Wd, W)
+    WWd = _mat3_mul(W, Wd)
+    Sdot = [[-ap * sd * W[i][j] - a * Wd[i][j] + bp * sd * W2[i][j]
+             + b * (WdW[i][j] + WWd[i][j]) for j in range(3)]
+            for i in range(3)]
+    return R, S, Sdot
+
+
+def _spring_force(st1, st2, sp, f32, xp, want_blocks: bool):
+    """Two-point spring closure (ForcePointPoint / ForceSpringDamper) on one
+    lane block: world force law + closed-form pairwise K/D blocks.
+
+    st_k = (x [3], v [3], R [3x3] or None, u [3] or None, r [3]) — the
+    endpoint state (world position/velocity, body rotation, body-frame point
+    velocity u = Gamma(r) phi, body-frame point r); R is None for a
+    world-fixed endpoint (body = -1). sp = dict(kind, k, d, L, tension).
+
+    Force law (matlab-diff/+redmax/ForcePointPoint.m:48-141 /
+    ForceSpringGeneric.m:37-83 + ForceSpringDamper.m:62-72):
+        pp: fW = k (x2 - x1) + d (v2 - v1)
+        sd: l = |dx|, ldot = dx.dv/l, fs = k (l-L)/L + d ldot/L,
+            fW = (fs/l) dx   (gated by strain > 0 when tension-only)
+    applied +fW at endpoint 1, -fW at endpoint 2.
+
+    K/D blocks are the exact jacfwd of the wrenches under the
+    structured_hessian perturbation convention (E_wi <- E_wi exp(xi^),
+    phi <- phi + dphi), including the CROSS blocks coupling the two bodies
+    — the first kernel force whose H couples body pairs. With
+    A = dfW/d(dx), B = dfW/d(dv) (world 3x3):
+        dW_b/dxi_c = Gamma_b^T [ delta_bc hat(fb_b) | 0 ]
+                   + Gamma_b^T s_b sig_c R_b^T (A R_c Gamma_c
+                                                + B [-R_c hat(u_c) | 0])
+        dW_b/dphi_c = Gamma_b^T s_b sig_c R_b^T B R_c Gamma_c
+    (s_1, s_2 = +1, -1 the application sign; sig_1, sig_2 = -1, +1 the
+    dx/dv sensitivity sign). Verified against jacfwd of the force closures
+    in tests/test_pallas_step.py.
+
+    Returns (wrench1 [6] or None, wrench2 [6] or None,
+             blocks {(endpoint_i, endpoint_j): (K 6x6, D 6x6)}).
+    """
+    x1, v1, R1, u1, r1 = st1
+    x2, v2, R2, u2, r2 = st2
+    k, d = sp["k"], sp["d"]
+    dx = [x2[i] - x1[i] for i in range(3)]
+    dv = [v2[i] - v1[i] for i in range(3)]
+    eye = [[1.0 if i == j else 0.0 for j in range(3)] for i in range(3)]
+    if sp["kind"] == "pp":
+        fW = [k * dx[i] + d * dv[i] for i in range(3)]
+        if want_blocks:
+            A = [[k * eye[i][j] for j in range(3)] for i in range(3)]
+            B = [[d * eye[i][j] for j in range(3)] for i in range(3)]
+    else:
+        L = sp["L"]
+        l2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+        l = xp.sqrt(xp.maximum(l2, 1e-24))
+        linv = 1.0 / l
+        e = [dx[i] * linv for i in range(3)]
+        ldot = (dx[0] * dv[0] + dx[1] * dv[1] + dx[2] * dv[2]) * linv
+        fs_raw = k * (l - L) / L + d * ldot / L
+        gate = (l > L).astype(f32) if sp["tension"] else 1.0
+        fW = [gate * fs_raw * linv * dx[i] for i in range(3)]
+        if want_blocks:
+            dfs = [(k / L) * e[i] + (d / L) * (dv[i] - ldot * e[i]) * linv
+                   for i in range(3)]
+            A = [[gate * (fs_raw * linv * (eye[i][j] - e[i] * e[j])
+                          + e[i] * dfs[j]) for j in range(3)]
+                 for i in range(3)]
+            B = [[gate * (d / L) * e[i] * e[j] for j in range(3)]
+                 for i in range(3)]
+
+    def wrench(R, r, sgn):
+        fb = _mat3_vec(_mat3_T(R), [sgn * fW[i] for i in range(3)])
+        return _cross(r, fb) + fb, fb
+
+    w1 = fb1 = w2 = fb2 = None
+    if R1 is not None:
+        w1, fb1 = wrench(R1, r1, 1.0)
+    if R2 is not None:
+        w2, fb2 = wrench(R2, r2, -1.0)
+    blocks = {}
+    if want_blocks:
+        ends = [(R1, u1, r1, fb1, 1.0, -1.0), (R2, u2, r2, fb2, -1.0, 1.0)]
+        for bi, (Rb, ub, rb, fbb, s_b, _) in enumerate(ends):
+            if Rb is None:
+                continue
+            Rbt = _mat3_T(Rb)
+            hrb = _hat(rb)
+            for ci, (Rc, uc, rc, _f, _s, sig_c) in enumerate(ends):
+                if Rc is None:
+                    continue
+                coef = s_b * sig_c
+                P = _mat3_mul(Rbt, _mat3_mul(A, Rc))
+                Q = _mat3_mul(Rbt, _mat3_mul(B, Rc))
+                P = [[coef * P[i][j] for j in range(3)] for i in range(3)]
+                Q = [[coef * Q[i][j] for j in range(3)] for i in range(3)]
+                hrc, huc = _hat(rc), _hat(uc)
+                Phr = _mat3_mul(P, hrc)
+                Qhu = _mat3_mul(Q, huc)
+                Qhr = _mat3_mul(Q, hrc)
+                hfb = _hat(fbb) if bi == ci else [[0.0] * 3 for _ in range(3)]
+                ML = [[hfb[i][j] - Phr[i][j] - Qhu[i][j] for j in range(3)]
+                      for i in range(3)]
+                DL = [[-Qhr[i][j] for j in range(3)] for i in range(3)]
+                hrML = _mat3_mul(hrb, ML)
+                hrP = _mat3_mul(hrb, P)
+                hrDL = _mat3_mul(hrb, DL)
+                hrQ = _mat3_mul(hrb, Q)
+                K = [[0.0] * 6 for _ in range(6)]
+                D = [[0.0] * 6 for _ in range(6)]
+                for i in range(3):
+                    for j in range(3):
+                        K[i][j] = hrML[i][j]
+                        K[i][3 + j] = hrP[i][j]
+                        K[3 + i][j] = ML[i][j]
+                        K[3 + i][3 + j] = P[i][j]
+                        D[i][j] = hrDL[i][j]
+                        D[i][3 + j] = hrQ[i][j]
+                        D[3 + i][j] = DL[i][j]
+                        D[3 + i][3 + j] = Q[i][j]
+                blocks[(bi, ci)] = (K, D)
+    return w1, w2, blocks
+
+
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
 
 
 def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES,
-                  xp=jnp, contact_bodies: Tuple[int, ...] = ()):
+                  xp=jnp, contact_bodies: Tuple[int, ...] = (),
+                  springs: Tuple = (), perlane: frozenset = frozenset()):
     """Trace-time construction of the fused chord-solve kernel.
 
     Static data baked in: parent array, joint types, dof offsets, ancestor
-    mask, and the contact body list (one entry per ForceGroundCuboid, in
-    force_fns order). Returns kernel(refs...) closing over them. When
-    contact_bodies is non-empty the kernel takes one extra input ref cp_ref
-    [C, 13] = per contact (sides[3], kn, kt, kd, mu, xg[3], ng[3]).
+    mask, the contact body list (one entry per ForceGroundCuboid, in
+    force_fns order), and the spring spec (one dict per ForcePointPoint /
+    ForceSpringDamper: kind/b1/b2/tension — see _spring_spec). Returns
+    kernel(refs...) closing over them. When contact_bodies is non-empty the
+    kernel takes one extra input ref cp_ref [C, 13] = per contact (sides[3],
+    kn, kt, kd, mu, xg[3], ng[3]); when springs is non-empty one more,
+    sp_ref [S, 9] = per spring (xl1[3], xl2[3], k, d, L).
+
+    perlane ⊆ {"I_i", "gh", "bd", "cp", "sp"}: inputs promoted to PER-LANE
+    blocks (the scenario-sampling / system-ID dimension — inertia, gravity
+    + timestep, body damping, contact and spring coefficients vary per
+    batch lane). A per-lane input arrives flattened to lane-block rows
+    ([N*6] for I_i, [4] for gh, [N] for bd, [C*13] / [S*9] for cp/sp)
+    instead of a small shared 2-D ref; the kernel math is unchanged —
+    every scalar read just becomes a lane block and broadcasts.
     `lanes` is the shape of one per-scalar lane block — (8, 128) under
     pallas; chord_bdf2_dense evaluates the SAME kernel function on (B,)
     blocks for the CPU parity gate (tests/test_pallas_step.py). `xp` is the
@@ -359,6 +555,7 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
     anc = np.asarray(topo.ancestor_mask()).astype(bool)         # [N, N] joints
     dofj = [int(j) for j in topo.dof_joint()]                   # [nr]
     C = len(contact_bodies)
+    SP = len(springs)
     assert kind == "bdf2"
     fixed_iters = cfg.fixed_iters
     guarded = bool(cfg.guarded)
@@ -370,14 +567,21 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
     def kernel(x0_ref, q0_ref, qd0_ref, q1_ref, qd1_ref, tau_ref,
                E0pj_ref, E0ji_ref, Ii_ref, axes_ref, jsf_ref, bd_ref, gh_ref,
                *rest):
+        ri = 0
         if C:
-            cp_ref = rest[0]
-            x_out_ref, hinv_out_ref = rest[1], rest[2]
-        else:
-            x_out_ref, hinv_out_ref = rest
+            cp_ref = rest[ri]
+            ri += 1
+        if SP:
+            sp_ref = rest[ri]
+            ri += 1
+        x_out_ref, hinv_out_ref = rest[ri], rest[ri + 1]
         f32 = x0_ref.dtype
-        h = gh_ref[0, 3]
-        gvec = [gh_ref[0, 0], gh_ref[0, 1], gh_ref[0, 2]]
+        if "gh" in perlane:
+            h = gh_ref[3]
+            gvec = [gh_ref[0], gh_ref[1], gh_ref[2]]
+        else:
+            h = gh_ref[0, 3]
+            gvec = [gh_ref[0, 0], gh_ref[0, 1], gh_ref[0, 2]]
         gmag = xp.sqrt(gvec[0] * gvec[0] + gvec[1] * gvec[1]
                        + gvec[2] * gvec[2])
 
@@ -404,8 +608,14 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                          [Eji[a, 3] for a in range(3)]))
             axes.append([[axes_ref[j, a, b] for b in range(3)]
                          for a in range(3)])
-        Ii = [[Ii_ref[j, k] for k in range(6)] for j in range(N)]
-        bd = [bd_ref[0, j] for j in range(N)]
+        if "I_i" in perlane:
+            Ii = [[Ii_ref[j * 6 + k] for k in range(6)] for j in range(N)]
+        else:
+            Ii = [[Ii_ref[j, k] for k in range(6)] for j in range(N)]
+        if "bd" in perlane:
+            bd = [bd_ref[j] for j in range(N)]
+        else:
+            bd = [bd_ref[0, j] for j in range(N)]
         stiff = [jsf_ref[0, r] for r in range(nr)]
         damp = [jsf_ref[1, r] for r in range(nr)]
         qrest = [jsf_ref[2, r] for r in range(nr)]
@@ -413,16 +623,46 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
         qlimU = [jsf_ref[4, r] for r in range(nr)]
         qlimK = [jsf_ref[5, r] for r in range(nr)]
         qlimD = [jsf_ref[6, r] for r in range(nr)]
+        def _cpr(c, k):
+            return cp_ref[c * 13 + k] if "cp" in perlane else cp_ref[c, k]
+
+        def _spr(s, k):
+            return sp_ref[s * 9 + k] if "sp" in perlane else sp_ref[s, k]
+
         cps = [
             {
-                "sides": [cp_ref[c, k] for k in range(3)],
-                "kn": cp_ref[c, 3], "kt": cp_ref[c, 4],
-                "kd": cp_ref[c, 5], "mu": cp_ref[c, 6],
-                "xg": [cp_ref[c, 7 + k] for k in range(3)],
-                "ng": [cp_ref[c, 10 + k] for k in range(3)],
+                "sides": [_cpr(c, k) for k in range(3)],
+                "kn": _cpr(c, 3), "kt": _cpr(c, 4),
+                "kd": _cpr(c, 5), "mu": _cpr(c, 6),
+                "xg": [_cpr(c, 7 + k) for k in range(3)],
+                "ng": [_cpr(c, 10 + k) for k in range(3)],
             }
             for c in range(C)
         ]
+        sps = [
+            {
+                **springs[s],
+                "xl1": [_spr(s, k) for k in range(3)],
+                "xl2": [_spr(s, 3 + k) for k in range(3)],
+                "k": _spr(s, 6), "d": _spr(s, 7), "L": _spr(s, 8),
+            }
+            for s in range(SP)
+        ]
+
+        def spring_states(Ew, phi, sp):
+            """Endpoint states (x, v, R, u, r) for _spring_force; world-fixed
+            endpoints (body < 0) carry R = None."""
+
+            def pt(b, r):
+                if b < 0:
+                    return (r, [0.0, 0.0, 0.0], None, None, r)
+                R, p = Ew[b]
+                x = [p[i] + sum(R[i][k] * r[k] for k in range(3))
+                     for i in range(3)]
+                u = [a + b2 for a, b2 in zip(_cross(phi[b][:3], r), phi[b][3:])]
+                return (x, _mat3_vec(R, u), R, u, r)
+
+            return pt(sp["b1"], sp["xl1"]), pt(sp["b2"], sp["xl2"])
 
         # body-frame motion subspace columns Sb = Ad(inv(E0_ji)) S.
         # Constant-S types: static (scalar entries). UNIVERSAL: S(q) — filled
@@ -430,6 +670,9 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
         A0j = [_Ad(_E_inv(E0ji[j])) for j in range(N)]
         Sb_static = [None] * nr
         for j in range(N):
+            if jtypes[j] in (JointType.UNIVERSAL, JointType.SPHERICAL,
+                             JointType.FREE3D):
+                continue              # q-dependent S, filled per lane below
             A0 = A0j[j]
             for d in range(ndof[j]):
                 r = doffs[j] + d
@@ -439,8 +682,6 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                 elif jtypes[j] in (JointType.PRISMATIC, JointType.PLANAR,
                                    JointType.TRANSLATIONAL):
                     Sj = [0.0, 0.0, 0.0] + col
-                elif jtypes[j] == JointType.UNIVERSAL:
-                    continue
                 else:
                     raise AssertionError
                 Sb_static[r] = _mat6_vec(A0, Sj)
@@ -474,6 +715,49 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                     Sbd[o] = _mat6_vec(
                         A0, [-s1 * qd1j, 0.0, c1 * qd1j, 0.0, 0.0, 0.0]
                     )
+                elif jt == JointType.SPHERICAL:
+                    # JointSphericalExp (matlab/+redmax/JointSphericalExp.m:49):
+                    # R = exp(hat(q)), S = the SO(3) right Jacobian, per lane.
+                    o = doffs[j]
+                    R, S3, S3d = _so3_exp_S(
+                        [x[o], x[o + 1], x[o + 2]],
+                        [qd[o], qd[o + 1], qd[o + 2]], xp,
+                    )
+                    Q = (R, [0.0, 0.0, 0.0])
+                    A0 = A0j[j]
+                    for dd in range(3):
+                        Sb[o + dd] = _mat6_vec(
+                            A0, [S3[0][dd], S3[1][dd], S3[2][dd],
+                                 0.0, 0.0, 0.0])
+                        Sbd[o + dd] = _mat6_vec(
+                            A0, [S3d[0][dd], S3d[1][dd], S3d[2][dd],
+                                 0.0, 0.0, 0.0])
+                elif jt == JointType.FREE3D:
+                    # JointFree3D (matlab-diff/+redmax/JointFree3D.m):
+                    # Q = [R(q[3:6]) | p = q[0:3]] with exp coords for R.
+                    # S cols 0-2 (translation): [0; R^T e_d] with
+                    # Sdot = [0; -hat(omega_b) R^T e_d], omega_b = Jr rdot;
+                    # cols 3-5: the spherical columns above.
+                    o = doffs[j]
+                    rd3 = [qd[o + 3], qd[o + 4], qd[o + 5]]
+                    R, S3, S3d = _so3_exp_S(
+                        [x[o + 3], x[o + 4], x[o + 5]], rd3, xp)
+                    Q = (R, [x[o], x[o + 1], x[o + 2]])
+                    A0 = A0j[j]
+                    om = _mat3_vec(S3, rd3)
+                    hom = _hat(om)
+                    for dd in range(3):
+                        colv = [R[dd][0], R[dd][1], R[dd][2]]  # R^T e_dd
+                        sdv = [-sum(hom[i][k] * colv[k] for k in range(3))
+                               for i in range(3)]
+                        Sb[o + dd] = _mat6_vec(A0, [0.0, 0.0, 0.0] + colv)
+                        Sbd[o + dd] = _mat6_vec(A0, [0.0, 0.0, 0.0] + sdv)
+                        Sb[o + 3 + dd] = _mat6_vec(
+                            A0, [S3[0][dd], S3[1][dd], S3[2][dd],
+                                 0.0, 0.0, 0.0])
+                        Sbd[o + 3 + dd] = _mat6_vec(
+                            A0, [S3d[0][dd], S3d[1][dd], S3d[2][dd],
+                                 0.0, 0.0, 0.0])
                 elif jt == JointType.REVOLUTE:
                     th = x[doffs[j]]
                     c, s = xp.cos(th), xp.sin(th)
@@ -568,6 +852,16 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                 wr, _, _ = _ground_contact(Ew[b], phi[b], cps[c], f32, xp,
                                            want_blocks=False)
                 fm[b] = [fm[b][k] + wr[k] for k in range(6)]
+            for sp in sps:
+                st1, st2 = spring_states(Ew, phi, sp)
+                w1, w2, _ = _spring_force(st1, st2, sp, f32, xp,
+                                          want_blocks=False)
+                if w1 is not None:
+                    b = sp["b1"]
+                    fm[b] = [fm[b][k] + w1[k] for k in range(6)]
+                if w2 is not None:
+                    b = sp["b2"]
+                    fm[b] = [fm[b][k] + w2[k] for k in range(6)]
             return fm
 
         # BDF2 inner-step constants (residual_bdf2 / _hess_bdf2)
@@ -649,6 +943,26 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                         qvv = sum(Ii[i][k] * J[i][r][k] * Jd[i][s][k]
                                   for k in range(6))
                         H[r][s] = H[r][s] + m_rs + kd + cD * (-2.0) * qvv
+            # Spring closures: pairwise K/D blocks (incl. the cross blocks
+            # coupling body1 <-> body2), H[r][s] += J_b[r]^T G J_c[s] with
+            # G = cK K_bc + cD D_bc.
+            for sp in sps:
+                st1, st2 = spring_states(Ew, phi, sp)
+                _, _, blocks = _spring_force(st1, st2, sp, f32, xp,
+                                             want_blocks=True)
+                bodies = (sp["b1"], sp["b2"])
+                for (bi, ci), (Ksp, Dsp) in blocks.items():
+                    bb, cc = bodies[bi], bodies[ci]
+                    G6 = [[cK * Ksp[a][b2] + cD * Dsp[a][b2]
+                           for b2 in range(6)] for a in range(6)]
+                    colsb = [r for r in range(nr) if J[bb][r] is not None]
+                    colsc = [s for s in range(nr) if J[cc][s] is not None]
+                    GJ = {s: _mat6_vec(G6, J[cc][s]) for s in colsc}
+                    for r in colsb:
+                        for s in colsc:
+                            H[r][s] = H[r][s] + sum(
+                                J[bb][r][k] * GJ[s][k] for k in range(6)
+                            )
             for r in range(nr):
                 Krd = -stiff[r] - hit[r] * qlimK[r]
                 Drd = -damp[r] - hit[r] * qlimD[r]
@@ -812,18 +1126,41 @@ def _prep_static(topo: Topology, params: Dict, dtype, xp=jnp):
         params["qlimD"],
     ]).astype(dtype)
     bd = params.get("body_damping")
-    bd = (xp.zeros((1, N), dtype) if bd is None
-          else bd.reshape(1, N).astype(dtype))
-    gh = xp.concatenate(
-        [params["g"].reshape(3), params["h"].reshape(1)]
-    ).reshape(1, 4).astype(dtype)
+    if bd is None:
+        bd = xp.zeros((1, N), dtype)
+    elif bd.ndim == 2:
+        bd = bd.astype(dtype)                      # per-lane [B, N]
+    else:
+        bd = bd.reshape(1, N).astype(dtype)
+    g, hh = params["g"], params["h"]
+    if g.ndim == 2 or hh.ndim == 1:
+        # Per-lane gravity and/or timestep: gh [B, 4].
+        B = g.shape[0] if g.ndim == 2 else hh.shape[0]
+        gB = xp.broadcast_to(g.reshape(-1, 3), (B, 3)).astype(dtype)
+        hB = xp.broadcast_to(hh.reshape(-1), (B,)).astype(dtype)
+        gh = xp.concatenate([gB, hB[:, None]], axis=1)
+    else:
+        gh = xp.concatenate(
+            [g.reshape(3), hh.reshape(1)]
+        ).reshape(1, 4).astype(dtype)
     return axes, jsf, bd, gh
+
+
+def _split_forces(force_fns: Tuple):
+    """(ground_fns, spring_fns) in force_fns order; supports() guarantees
+    nothing else is present on the kernel path."""
+    from redmax_tpu.forces import ForceGroundCuboid
+
+    gnd = tuple(f for f in force_fns if isinstance(f, ForceGroundCuboid))
+    spr = tuple(f for f in force_fns if not isinstance(f, ForceGroundCuboid))
+    return gnd, spr
 
 
 def _pack_contacts(force_fns: Tuple, params: Dict, dtype, xp=jnp):
     """cp [C, 13] rows: sides[3], kn, kt, kd, mu, xg[3], ng[3] — one row per
     ForceGroundCuboid instance, force_fns order. Returns (contact_bodies, cp);
     cp is None when there are no contacts."""
+    force_fns, _ = _split_forces(force_fns)
     bodies = tuple(int(fn.body) for fn in force_fns)
     if not bodies:
         return (), None
@@ -838,6 +1175,99 @@ def _pack_contacts(force_fns: Tuple, params: Dict, dtype, xp=jnp):
             E[:3, 3].reshape(3), E[:3, 2].reshape(3),
         ]))
     return bodies, xp.stack(rows).astype(dtype)
+
+
+def _perlane_keys(params: Dict, force_fns: Tuple) -> frozenset:
+    """Which kernel inputs carry a per-lane batch dim in these params
+    (see _build_kernel perlane): I_i [B,N,6], g [B,3] / h [B],
+    body_damping [B,N], contact kn/kt/kd/mu [B], spring k/d/L [B]."""
+    pl = set()
+    if params["I_i"].ndim == 3:
+        pl.add("I_i")
+    if params["g"].ndim == 2 or params["h"].ndim == 1:
+        pl.add("gh")
+    bd = params.get("body_damping")
+    if bd is not None and bd.ndim == 2:
+        pl.add("bd")
+    gnd, spr = _split_forces(force_fns)
+    for fn in gnd:
+        fp = params["forces"][fn.key]
+        if any(getattr(fp.get(p), "ndim", 0) == 1
+               for p in ("kn", "kt", "kd", "mu")):
+            pl.add("cp")
+    for fn in spr:
+        fp = params["forces"][fn.key]
+        if any(getattr(fp.get(p, None), "ndim", 0) == 1
+               for p in ("k", "d", "L")):
+            pl.add("sp")
+    return frozenset(pl)
+
+
+def _pack_contacts_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
+    """Per-lane contact packing: [C*13, B] lane-column rows (same entry
+    order as _pack_contacts), broadcasting lane-shared entries to [B]."""
+    gnd, _ = _split_forces(force_fns)
+    cols = []
+    for fn in gnd:
+        fp = params["forces"][fn.key]
+        E = xp.asarray(fp["E"])
+        sides = xp.asarray(fp["sides"]).reshape(3)
+        ents = ([sides[k] for k in range(3)]
+                + [fp["kn"], fp["kt"], fp["kd"], fp["mu"]]
+                + [E[k, 3] for k in range(3)] + [E[k, 2] for k in range(3)])
+        for e in ents:
+            cols.append(xp.broadcast_to(xp.asarray(e).astype(dtype), (B,)))
+    return xp.stack(cols, axis=0)
+
+
+def _pack_springs_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
+    """Per-lane spring packing: [S*9, B] (entry order of _pack_springs)."""
+    _, spr = _split_forces(force_fns)
+    cols = []
+    for fn in spr:
+        fp = params["forces"][fn.key]
+        xl1 = xp.asarray(fp["xl1"]).reshape(3)
+        xl2 = xp.asarray(fp["xl2"]).reshape(3)
+        ents = ([xl1[k] for k in range(3)] + [xl2[k] for k in range(3)]
+                + [fp["k"], fp["d"],
+                   fp["L"] if "L" in fp else xp.zeros((), dtype)])
+        for e in ents:
+            cols.append(xp.broadcast_to(xp.asarray(e).astype(dtype), (B,)))
+    return xp.stack(cols, axis=0)
+
+
+def _spring_spec(force_fns: Tuple) -> Tuple:
+    """Static spring descriptors (kind, b1, b2, tension) for _build_kernel —
+    one per ForcePointPoint / ForceSpringDamper, force_fns order."""
+    from redmax_tpu.forces import ForcePointPoint
+
+    _, spr = _split_forces(force_fns)
+    return tuple(
+        {
+            "kind": "pp" if type(fn) is ForcePointPoint else "sd",
+            "b1": int(fn.body1), "b2": int(fn.body2),
+            "tension": bool(getattr(fn, "tension_only", False)),
+        }
+        for fn in spr
+    )
+
+
+def _pack_springs(force_fns: Tuple, params: Dict, dtype, xp=jnp):
+    """sp [S, 9] rows: xl1[3], xl2[3], k, d, L (0 for point-point springs) —
+    one row per spring closure, force_fns order. None when there are none."""
+    _, spr = _split_forces(force_fns)
+    if not spr:
+        return None
+    rows = []
+    for fn in spr:
+        fp = params["forces"][fn.key]
+        L = (xp.asarray(fp["L"]).reshape(1) if "L" in fp
+             else xp.zeros(1, dtype))
+        rows.append(xp.concatenate([
+            xp.asarray(fp["xl1"]).reshape(3), xp.asarray(fp["xl2"]).reshape(3),
+            xp.asarray(fp["k"]).reshape(1), xp.asarray(fp["d"]).reshape(1), L,
+        ]))
+    return xp.stack(rows).astype(dtype)
 
 
 class _Ref:
@@ -887,9 +1317,19 @@ def chord_bdf2_dense(topo: Topology, cfg, params: Dict, x0, q0, qd0, q1, qd1,
     if xp is np:
         params = jax.tree_util.tree_map(np.asarray, dict(params))
         x0, q0, qd0, q1, qd1 = (np.asarray(a) for a in (x0, q0, qd0, q1, qd1))
-    contact_bodies, cp = _pack_contacts(force_fns, params, dtype, xp=xp)
+    perlane = _perlane_keys(params, force_fns)
+    springs = _spring_spec(force_fns)
+    if "cp" in perlane:
+        gnd_fns, _ = _split_forces(force_fns)
+        contact_bodies = tuple(int(fn.body) for fn in gnd_fns)
+        cp = _pack_contacts_lane(force_fns, params, dtype, B, xp=xp)
+    else:
+        contact_bodies, cp = _pack_contacts(force_fns, params, dtype, xp=xp)
+    sp = (_pack_springs_lane(force_fns, params, dtype, B, xp=xp)
+          if "sp" in perlane else _pack_springs(force_fns, params, dtype, xp=xp))
     kernel = _build_kernel(topo, cfg, "bdf2", lanes=(B,), xp=xp,
-                           contact_bodies=contact_bodies)
+                           contact_bodies=contact_bodies, springs=springs,
+                           perlane=perlane)
     tau = params["tau"]
     if tau.ndim == 1:
         tau = xp.broadcast_to(tau, (B, nr))
@@ -898,13 +1338,19 @@ def chord_bdf2_dense(topo: Topology, cfg, params: Dict, x0, q0, qd0, q1, qd1,
                           if xp is np else a.astype(dtype).T, xp)
     out_x = _OutRef((nr, B), dtype, xp)
     out_h = _OutRef((nr * nr, B), dtype, xp)
+    ii = params["I_i"].astype(dtype)
+    ii_in = lane(ii.reshape(B, N * 6)) if "I_i" in perlane else _Ref(ii, xp)
+    bd_in = lane(bd) if "bd" in perlane else _Ref(bd, xp)
+    gh_in = lane(gh) if "gh" in perlane else _Ref(gh, xp)
     extra = (_Ref(cp, xp),) if contact_bodies else ()
+    if springs:
+        extra = extra + (_Ref(sp, xp),)
     kernel(
         lane(x0), lane(q0), lane(qd0), lane(q1), lane(qd1), lane(tau),
         _Ref(params["E0_pj"].astype(dtype), xp),
         _Ref(params["E0_ji"].astype(dtype), xp),
-        _Ref(params["I_i"].astype(dtype), xp), _Ref(axes, xp), _Ref(jsf, xp),
-        _Ref(bd, xp), _Ref(gh, xp), *extra, out_x, out_h,
+        ii_in, _Ref(axes, xp), _Ref(jsf, xp),
+        bd_in, gh_in, *extra, out_x, out_h,
     )
     x = out_x.a.T
     Hinv = out_h.a.reshape(nr, nr, B).transpose(2, 0, 1)
@@ -919,9 +1365,10 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
     with all state args [B,nr]; params["tau"] may be [B,nr] or [nr].
     B must be a multiple of 1024 (the wrapper pads and slices otherwise).
 
-    force_fns: the scene's force closures — every entry must be a
-    ForceGroundCuboid (supports() gate); their body indices are baked into
-    the kernel and their params packed per call (_pack_contacts).
+    force_fns: the scene's force closures — ForceGroundCuboid /
+    ForcePointPoint / ForceSpringDamper (supports() gate); their body
+    indices are baked into the kernel and their params packed per call
+    (_pack_contacts / _pack_springs).
 
     impl: "pallas" (the TPU kernel; interpret optionally forces interpreter
     mode) or "dense" (chord_bdf2_dense with xp=jnp — the SAME kernel code on
@@ -936,9 +1383,13 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
         return partial(chord_bdf2_dense, topo, cfg, xp=jnp,
                        force_fns=force_fns)
     N, nr = topo.njoints, topo.nr
-    contact_bodies = tuple(int(fn.body) for fn in force_fns)
+    gnd_fns, _ = _split_forces(force_fns)
+    contact_bodies = tuple(int(fn.body) for fn in gnd_fns)
+    springs = _spring_spec(force_fns)
     Ccnt = len(contact_bodies)
-    kernel = _build_kernel(topo, cfg, "bdf2", contact_bodies=contact_bodies)
+    Scnt = len(springs)
+    kernel = _build_kernel(topo, cfg, "bdf2", contact_bodies=contact_bodies,
+                           springs=springs)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -952,36 +1403,74 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
         if tau.ndim == 1:
             tau = jnp.broadcast_to(tau, (B, nr))
 
-        axes, jsf, bd, gh = _prep_static(topo, params, dtype)
-        _, cp = _pack_contacts(force_fns, params, dtype)
+        # Per-lane physical params (system-ID / domain randomization):
+        # rebuild the kernel with the matching read layout when any of
+        # I_i / g / h / body_damping / contact / spring coeffs are [B, ...].
+        perlane = _perlane_keys(params, force_fns)
+        kern = (kernel if not perlane else
+                _build_kernel(topo, cfg, "bdf2",
+                              contact_bodies=contact_bodies, springs=springs,
+                              perlane=perlane))
 
-        def to_tiles(a):  # [B,nr] -> [nr, G*8, 128]
+        axes, jsf, bd, gh = _prep_static(topo, params, dtype)
+        if "cp" in perlane:
+            cp = _pack_contacts_lane(force_fns, params, dtype, B)
+        else:
+            _, cp = _pack_contacts(force_fns, params, dtype)
+        sp = (_pack_springs_lane(force_fns, params, dtype, B)
+              if "sp" in perlane else _pack_springs(force_fns, params, dtype))
+
+        def to_tiles(a):  # [B, P] -> [P, G*8, 128]
+            P = a.shape[1]
             a = a.astype(dtype)
             if Bp != B:
                 a = jnp.concatenate(
-                    [a, jnp.broadcast_to(a[-1:], (Bp - B, nr))], axis=0
+                    [a, jnp.broadcast_to(a[-1:], (Bp - B, P))], axis=0
                 )
-            return a.T.reshape(nr, G * LANES[0], LANES[1])
+            return a.T.reshape(P, G * LANES[0], LANES[1])
 
-        lane_spec = pl.BlockSpec(
-            (nr, LANES[0], LANES[1]), lambda g: (0, g, 0),
-            memory_space=pltpu.VMEM,
-        )
+        def lane_rows(P):
+            return pl.BlockSpec(
+                (P, LANES[0], LANES[1]), lambda g: (0, g, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        lane_spec = lane_rows(nr)
 
         def shared(shape):
             zeros = (0,) * len(shape)
             return pl.BlockSpec(shape, lambda g, _z=zeros: _z,
                                 memory_space=pltpu.VMEM)
 
-        cp_specs = [shared((Ccnt, 13))] if Ccnt else []
-        cp_args = (cp,) if Ccnt else ()
+        ii = params["I_i"].astype(dtype)
+        if "I_i" in perlane:
+            ii_arg, ii_spec = to_tiles(ii.reshape(B, N * 6)), lane_rows(N * 6)
+        else:
+            ii_arg, ii_spec = ii, shared((N, 6))
+        if "bd" in perlane:
+            bd_arg, bd_spec = to_tiles(bd), lane_rows(N)
+        else:
+            bd_arg, bd_spec = bd, shared((1, N))
+        if "gh" in perlane:
+            gh_arg, gh_spec = to_tiles(gh), lane_rows(4)
+        else:
+            gh_arg, gh_spec = gh, shared((1, 4))
+        cp_specs, cp_args = [], ()
+        if Ccnt:
+            cp_specs = [lane_rows(Ccnt * 13) if "cp" in perlane
+                        else shared((Ccnt, 13))]
+            cp_args = (to_tiles(cp.T) if "cp" in perlane else cp,)
+        if Scnt:
+            cp_specs = cp_specs + [lane_rows(Scnt * 9) if "sp" in perlane
+                                   else shared((Scnt, 9))]
+            cp_args = cp_args + (to_tiles(sp.T) if "sp" in perlane else sp,)
         out_x, out_h = pl.pallas_call(
-            kernel,
+            kern,
             grid=(G,),
             in_specs=[lane_spec] * 6 + [
-                shared((N, 4, 4)), shared((N, 4, 4)), shared((N, 6)),
-                shared((N, 3, 3)), shared((7, nr)), shared((1, N)),
-                shared((1, 4)),
+                shared((N, 4, 4)), shared((N, 4, 4)), ii_spec,
+                shared((N, 3, 3)), shared((7, nr)), bd_spec,
+                gh_spec,
             ] + cp_specs,
             out_specs=[
                 lane_spec,
@@ -1004,7 +1493,7 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
             to_tiles(x0), to_tiles(q0), to_tiles(qd0), to_tiles(q1),
             to_tiles(qd1), to_tiles(tau),
             params["E0_pj"].astype(dtype), params["E0_ji"].astype(dtype),
-            params["I_i"].astype(dtype), axes, jsf, bd, gh, *cp_args,
+            ii_arg, axes, jsf, bd_arg, gh_arg, *cp_args,
         )
         x = out_x.reshape(nr, Bp).T[:B]
         Hinv = out_h.reshape(nr, nr, Bp).transpose(2, 0, 1)[:B]

@@ -222,3 +222,76 @@ def test_brender_export_addon_schema(tmp_path):
         # cuboid scale = body sides
         np.testing.assert_allclose(st["scale"], np.asarray(b.bodies[i].sides),
                                    atol=0)
+
+
+def test_checkpoint_npz_backend(tmp_path):
+    """npz fallback round-trips with explicit leaf_NNNNN key naming and
+    rejects structure mismatches instead of silently mis-zipping."""
+    from redmax_tpu import checkpoint
+
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.asarray(3), "d": jnp.ones(2)}}
+    p = checkpoint.save_checkpoint(str(tmp_path / "ck"), tree, backend="npz")
+    assert p.endswith(".npz")
+    data = np.load(p)
+    assert sorted(data.files) == ["leaf_00000", "leaf_00001", "leaf_00002"]
+    back = checkpoint.load_checkpoint(p, tree, backend="npz")
+    np.testing.assert_allclose(np.asarray(back["b"]["d"]), np.ones(2))
+    with pytest.raises(ValueError):
+        checkpoint.load_checkpoint(p, {"a": jnp.zeros(4)}, backend="npz")
+
+
+@pytest.mark.parametrize("backend", ["auto", "npz"])
+def test_mpc_checkpoint_resume(tmp_path, backend):
+    """Checkpoint/resume in anger (SURVEY section 5): a multi-iteration
+    batched MPC Adam optimization snapshotted every 2 iterations resumes
+    BIT-EXACTLY — an interrupted run re-driven through checkpointed_run
+    lands on the same (P, opt_state) as the uninterrupted run."""
+    import optax
+
+    from redmax_tpu import checkpoint, mpc
+    from redmax_tpu.integrators import NewtonConfig
+    from redmax_tpu.types import State
+
+    sc = scene_chain(nlinks=2).compile(dtype=jnp.float32)
+    cfg = NewtonConfig(fixed_iters=2, predictor="quadratic", chord=True,
+                       hessian="structured", linsolve="gj")
+    task = mpc.PointPosTask(body=1, wp=1.0, wreg=1e-6, pscale=1e3)
+    obj = mpc.make_objective_batched(
+        sc.topo, (), task, jnp.array([0.5, 0.0, 0.0], jnp.float32),
+        nsteps=3, cfg=cfg, use_pallas=False,
+    )
+    B = 2
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(0.003 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    s0 = State(q=jnp.tile(sc.state0.q, (B, 1)),
+               qdot=jnp.tile(sc.state0.qdot, (B, 1)), aux={})
+    tgt = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    opt = optax.adam(0.05)
+
+    @jax.jit
+    def iterate(carry, _i):
+        P, opt_state = carry
+        g = jax.grad(lambda PP: jnp.sum(obj(sc.params, PP, s0, tgt)))(P)
+        updates, opt_state = opt.update(g, opt_state, P)
+        return (optax.apply_updates(P, updates), opt_state)
+
+    carry0 = (P0, opt.init(P0))
+    n = 6
+
+    # Uninterrupted reference run (no checkpoint dir involvement).
+    ref = carry0
+    for i in range(n):
+        ref = iterate(ref, i)
+
+    # Interrupted run: 3 iterations, then a fresh checkpointed_run resumes
+    # from the snapshot and finishes.
+    d = str(tmp_path / backend)
+    part = checkpoint.checkpointed_run(iterate, carry0, 3, d, every=2,
+                                       backend=backend)
+    full = checkpoint.checkpointed_run(iterate, carry0, n, d, every=2,
+                                       backend=backend)
+    # resume-equality: bit-exact P and Adam moments
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    del part

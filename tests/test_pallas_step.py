@@ -81,6 +81,48 @@ def _mixed_scene():
     return b.compile(dtype=jnp.float32)
 
 
+def _sph_scene(nlinks=3, free=False):
+    """Ball-joint (exp-map SPHERICAL) chain, optionally with a FREE3D
+    floating base — the q-dependent-S joints added to the kernel in r5."""
+    from redmax_tpu.types import JointType as JT
+
+    def transl(p):
+        E = np.eye(4)
+        E[:3, 3] = p
+        return E
+
+    b = SceneBuilder(name="sph", h=1e-2, tEnd=0.1, grav=(0.0, 0.0, -980.0))
+    for i in range(nlinks):
+        body = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+        jt = JT.FREE3D if (free and i == 0) else JT.SPHERICAL
+        j = b.joint(jt, None if i == 0 else i - 1, body,
+                    E_pj=np.eye(4) if i == 0 else transl([1.0, 0, 0]))
+        b.set_damping(j, 1.0)
+    return b.compile(dtype=jnp.float32)
+
+
+def _spring_scene():
+    """Revolute chain + ForcePointPoint (body-body) + ForceSpringDamper
+    (world-body) — the spring closures added to the kernel in r5."""
+
+    def transl(p):
+        E = np.eye(4)
+        E[:3, 3] = p
+        return E
+
+    b = SceneBuilder(name="spr", h=1e-2, tEnd=0.1, grav=(0.0, 0.0, -980.0))
+    for i in range(3):
+        b_i = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, b_i,
+                E_pj=np.eye(4) if i == 0 else transl([1.0, 0, 0]),
+                axis=(0, 1, 0) if i % 2 == 0 else (0, 0, 1))
+    b.force_point_point(0, 2, xl1=(0.3, 0, 0.05), xl2=(0.2, 0, -0.05),
+                        k=70.0, d=4.0)
+    b.force_spring_damper(-1, 2, [1.5, 0.5, 2.0], [0.4, 0, 0.0],
+                          k=120.0, d=2.0)
+    return b.compile(dtype=jnp.float32)
+
+
 def _rand_states(sc, B, seed=1):
     rng = np.random.default_rng(seed)
     nr = sc.topo.nr
@@ -129,7 +171,16 @@ def _np_inner_step(sc, cfg, params, s: Bdf2State) -> Bdf2State:
     )
     q2 = q2.astype(np.float32)
     qdot2 = (3 / (2 * h)) * (q2 - (4 / 3) * q1 + (1 / 3) * q0)
-    return Bdf2State(q=jnp.asarray(q2), qdot=jnp.asarray(qdot2),
+    q2, qdot2 = jnp.asarray(q2), jnp.asarray(qdot2)
+    # Mirror the kernel-path inner(): exp-map joints reparam between steps.
+    from redmax_tpu.joints import KERNELS
+    from redmax_tpu.types import JointType as JT
+
+    if any(KERNELS[JT(t)].reparam_fn is not None for t in sc.topo.jtype):
+        q2, qdot2 = jax.vmap(
+            lambda qq, qd: model.reparam_all(sc.topo, params, qq, qd, {})[:2]
+        )(q2, qdot2)
+    return Bdf2State(q=q2, qdot=qdot2,
                      q_prev=s.q, qdot_prev=s.qdot, k=s.k + 1, aux=s.aux)
 
 
@@ -167,10 +218,14 @@ def _ground_scene(nlinks=3):
     ).compile(dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("scene", ["chain", "mixed", "ground"])
+@pytest.mark.parametrize(
+    "scene", ["chain", "mixed", "ground", "sph", "free3d", "springs"]
+)
 def test_kernel_math_matches_chord_solve(scene):
     sc = {"chain": lambda: scene_chain(nlinks=4).compile(dtype=jnp.float32),
-          "mixed": _mixed_scene, "ground": _ground_scene}[scene]()
+          "mixed": _mixed_scene, "ground": _ground_scene,
+          "sph": _sph_scene, "free3d": lambda: _sph_scene(free=True),
+          "springs": _spring_scene}[scene]()
     B = 8
     x0, q0, qd0, q1, qd1 = _rand_states(sc, B)
 
@@ -318,11 +373,12 @@ def test_custom_vjp_backward_matches_fallback():
 
 
 def test_unsupported_scene_falls_back():
-    """A scene with a spherical joint must auto-route to the vmap fallback,
-    and use_pallas=True must raise; a ground-contact chain must QUALIFY."""
+    """A scene with an Euler-chart spherical joint or a cable must auto-route
+    to the vmap fallback, and use_pallas=True must raise; ground-contact,
+    exp-map spherical, and spring-damper scenes must QUALIFY (r5)."""
     from redmax_tpu.scenes import build_scene
 
-    sc = build_scene(7)  # spherical-joint chain (scenesRedMax.m scene 7)
+    sc = build_scene(7, exp_coords=False)  # Euler-chart spherical (scene 7)
     assert not pallas_step.supports(sc.topo, sc.force_fns)
     step = integrators.make_bdf2_step_batched(sc.topo, sc.force_fns, CFG)
     assert step.inner is not None  # fallback built fine
@@ -330,8 +386,17 @@ def test_unsupported_scene_falls_back():
         integrators.make_bdf2_step_batched(
             sc.topo, sc.force_fns, CFG, use_pallas=True
         )
-    scg = _ground_scene()
-    assert pallas_step.supports(scg.topo, scg.force_fns)
+    sc13 = build_scene(13)                 # cable scene
+    assert not pallas_step.supports(sc13.topo, sc13.force_fns)
+    for qualifying in (_ground_scene(), build_scene(7), build_scene(12)):
+        assert pallas_step.supports(qualifying.topo, qualifying.force_fns)
+    # backward escape hatches are rejected up front on the fallback path
+    # (a silent reuse-gradient fallback would betray the request).
+    with pytest.raises(ValueError):
+        integrators.make_bdf2_step_batched(
+            sc.topo, sc.force_fns, CFG, differentiable=True,
+            backward="refresh",
+        )
 
 
 def test_contact_blocks_match_jacfwd():
@@ -439,17 +504,16 @@ def test_contact_rollout_matches_vmap_fallback():
     )
 
 
-@pytest.mark.parametrize("mode", ["guarded", "refresh"])
+@pytest.mark.parametrize("mode", ["guarded", "refresh", "guarded_refresh"])
 def test_robust_solve_modes_match_newton(mode):
-    """The kernel's guarded chord (full/half/stay-put line-search guard) and
-    re-evaluated-H mode (chord=False) == integrators.newton with the same
-    config, on the contact scene where these modes matter."""
-    # newton() guards only the chord branch, so the refresh (chord=False)
-    # parity runs unguarded; the kernel's guarded+refresh combination is a
-    # superset with no vmapped counterpart.
+    """The kernel's guarded solve (full/half/stay-put line-search guard, with
+    chord=True OR re-evaluated-H chord=False) and plain re-evaluated-H mode
+    == integrators.newton with the same config, on the contact scene where
+    these modes matter. (r5: newton() guards the non-chord branch too, so
+    every kernel mode has a behavior-equal vmapped counterpart.)"""
     cfg = NewtonConfig(
         fixed_iters=3, predictor="quadratic",
-        chord=(mode == "guarded"), guarded=(mode == "guarded"),
+        chord=(mode == "guarded"), guarded=(mode != "refresh"),
         hessian="structured", linsolve="gj",
     )
     sc = _ground_scene()
@@ -579,6 +643,292 @@ def test_contact_vjp_matches_fallback():
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(xstar), atol=1e-5)
     names = ["tau", "q0", "qd0", "q1", "qd1"]
     for name, cf, cp in zip(names, cots_f, cots_p):
+        cf, cp = np.asarray(cf, np.float64), np.asarray(cp, np.float64)
+        scale = max(np.abs(cf).max(), 1e-9)
+        np.testing.assert_allclose(cp, cf, atol=5e-4 * scale, err_msg=name)
+
+
+def test_so3_exp_S_closed_forms():
+    """_so3_exp_S (Rodrigues R, right-Jacobian S, closed-form Sdot) ==
+    joints.derive_S / jax.jvp of the SPHERICAL kernel, in f64, across
+    generic, small-angle, and zero configurations (the Taylor-guard band)."""
+    from redmax_tpu.joints import KERNELS, derive_S, joint_QSSdot
+    from redmax_tpu.types import JointType as JT
+
+    Sf = derive_S(KERNELS[JT.SPHERICAL].Q_fn)
+    rng = np.random.default_rng(17)
+    ws = [rng.normal(size=3) * s for s in (2.0, 0.5, 0.15, 1e-3, 1e-6)]
+    ws.append(np.zeros(3))
+    for w in ws:
+        wd = rng.normal(size=3)
+        R, S, Sdot = pallas_step._so3_exp_S(list(w), list(wd), np)
+        Q, S_ref, Sdot_ref = joint_QSSdot(
+            JT.SPHERICAL, jnp.asarray(w, jnp.float64),
+            jnp.asarray(wd, jnp.float64), {}
+        )
+        np.testing.assert_allclose(
+            np.array(R), np.asarray(Q)[:3, :3], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.array(S), np.asarray(S_ref)[:3, :], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.array(Sdot), np.asarray(Sdot_ref)[:3, :], atol=1e-8
+        )
+
+
+def test_spring_blocks_match_jacfwd():
+    """_spring_force's closed-form pairwise K/D blocks (incl. the body1-body2
+    CROSS blocks) == jacfwd of the ForcePointPoint / ForceSpringDamper
+    closures under the structured_hessian perturbation convention, in f64;
+    and the wrench values match the closures exactly."""
+    from redmax_tpu import se3
+
+    sc = _spring_scene()
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if hasattr(a, "astype") else a,
+        sc.params,
+    )
+    rng = np.random.default_rng(19)
+    q = jnp.asarray(0.4 * rng.normal(size=sc.topo.nr))
+    qdot = jnp.asarray(rng.normal(size=sc.topo.nr))
+    kin = model.forward_kinematics(sc.topo, params, q, qdot, {})
+    _, _, phi = model.jacobians(sc.topo, params, kin, qdot)
+    N = sc.topo.njoints
+    z = jnp.zeros((N, 6), dtype=jnp.float64)
+
+    for fn, spec in zip(sc.force_fns, pallas_step._spring_spec(sc.force_fns)):
+
+        def fm_of(xi, dphi):
+            kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+            _, fm = fn(params, kin2, None, phi + dphi, q, qdot)
+            return fm
+
+        K_ref = np.asarray(jax.jacfwd(fm_of, argnums=0)(z, z))  # [N,6,N,6]
+        D_ref = np.asarray(jax.jacfwd(fm_of, argnums=1)(z, z))
+        fm_ref = np.asarray(fm_of(z, z))
+
+        fp = params["forces"][fn.key]
+        sp = {**spec,
+              "xl1": list(np.asarray(fp["xl1"], np.float64)),
+              "xl2": list(np.asarray(fp["xl2"], np.float64)),
+              "k": np.float64(fp["k"]), "d": np.float64(fp["d"]),
+              "L": np.float64(fp.get("L", 0.0))}
+
+        def pt(b, r):
+            if b < 0:
+                return (r, [0.0, 0.0, 0.0], None, None, r)
+            E = np.asarray(kin.E_wi[b])
+            R = [[E[i, j] for j in range(3)] for i in range(3)]
+            p = [E[i, 3] for i in range(3)]
+            ph = np.asarray(phi[b])
+            u = list(np.cross(ph[:3], r) + ph[3:])
+            x = [p[i] + sum(R[i][k] * r[k] for k in range(3))
+                 for i in range(3)]
+            v = [sum(R[i][k] * u[k] for k in range(3)) for i in range(3)]
+            return (x, v, R, u, r)
+
+        st1 = pt(spec["b1"], sp["xl1"])
+        st2 = pt(spec["b2"], sp["xl2"])
+        w1, w2, blocks = pallas_step._spring_force(
+            st1, st2, sp, np.float64, np, want_blocks=True
+        )
+        fm_chk = np.zeros((N, 6))
+        if w1 is not None:
+            fm_chk[spec["b1"]] += np.array(w1)
+        if w2 is not None:
+            fm_chk[spec["b2"]] += np.array(w2)
+        assert np.abs(fm_chk).max() > 0
+        np.testing.assert_allclose(fm_chk, fm_ref, atol=1e-10)
+
+        K_chk = np.zeros((N, 6, N, 6))
+        D_chk = np.zeros((N, 6, N, 6))
+        bodies = (spec["b1"], spec["b2"])
+        for (bi, ci), (K, D) in blocks.items():
+            K_chk[bodies[bi], :, bodies[ci], :] += np.array(K)
+            D_chk[bodies[bi], :, bodies[ci], :] += np.array(D)
+        np.testing.assert_allclose(K_chk, K_ref, atol=1e-9)
+        np.testing.assert_allclose(D_chk, D_ref, atol=1e-9)
+
+
+def test_spherical_rollout_matches_vmap_fallback():
+    """Ball-joint chain: numpy-oracle stepping of the pallas inner step
+    (exp-map S inside the kernel, rescale reparam between steps) == the vmap
+    fallback over a multi-step rollout."""
+    sc = _sph_scene(nlinks=2)
+    B, nsteps = 4, 8
+    rng = np.random.default_rng(6)
+    s0 = State(
+        q=jnp.asarray(0.3 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        qdot=jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        aux={},
+    )
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, use_pallas=False
+    )
+    sim = integrators.make_simulate(step, nsteps)
+    ref = jax.jit(sim)(sc.params, integrators.bdf2_init(s0))
+    assert bool(jnp.all(jnp.isfinite(ref.q)))
+
+    s = step.bootstrap(sc.params, integrators.bdf2_init(s0))
+    for _ in range(nsteps - 1):
+        s = _np_inner_step(sc, CFG, sc.params, s)
+    np.testing.assert_allclose(np.asarray(s.q), np.asarray(ref.q), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(s.qdot), np.asarray(ref.qdot), atol=5e-3
+    )
+
+
+def test_spring_rollout_matches_vmap_fallback():
+    """Spring scene: numpy-oracle stepping (springs + pairwise blocks inside
+    the kernel) == the vmap fallback (springs via closures + whole-system
+    jacfwd blocks) over a multi-step rollout."""
+    sc = _spring_scene()
+    B, nsteps = 4, 8
+    rng = np.random.default_rng(8)
+    s0 = State(
+        q=jnp.asarray(0.2 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        qdot=jnp.asarray(0.5 * rng.normal(size=(B, sc.topo.nr)), jnp.float32),
+        aux={},
+    )
+    step = integrators.make_bdf2_step_batched(
+        sc.topo, sc.force_fns, CFG, use_pallas=False
+    )
+    sim = integrators.make_simulate(step, nsteps)
+    ref = jax.jit(sim)(sc.params, integrators.bdf2_init(s0))
+    assert bool(jnp.all(jnp.isfinite(ref.q)))
+
+    s = step.bootstrap(sc.params, integrators.bdf2_init(s0))
+    for _ in range(nsteps - 1):
+        s = _np_inner_step(sc, CFG, sc.params, s)
+    np.testing.assert_allclose(np.asarray(s.q), np.asarray(ref.q), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s.qdot), np.asarray(ref.qdot), atol=2e-2
+    )
+
+
+def _perlane_params(sc, B, seed=0):
+    """Params with per-lane I_i / h / g / contact coefficients [B, ...]
+    (integrators.split_batched_params / pallas_step._perlane_keys)."""
+    rng = np.random.default_rng(seed)
+    params = dict(sc.params)
+    params["I_i"] = jnp.asarray(
+        np.asarray(sc.params["I_i"])[None]
+        * (1.0 + 0.3 * rng.uniform(size=(B, 1, 1))), jnp.float32)
+    params["h"] = jnp.asarray(
+        float(sc.params["h"]) * (1 + 0.2 * rng.uniform(size=B)), jnp.float32)
+    params["g"] = jnp.asarray(
+        np.asarray(sc.params["g"])[None] * (1 + 0.1 * rng.uniform(size=(B, 1))),
+        jnp.float32)
+    forces = {k: dict(v) for k, v in params.get("forces", {}).items()}
+    for fn in sc.force_fns:
+        fp = dict(forces[fn.key])
+        if "kn" in fp:
+            fp["kn"] = jnp.asarray(
+                float(fp["kn"]) * (1 + 0.5 * rng.uniform(size=B)), jnp.float32)
+            fp["mu"] = jnp.asarray(
+                float(fp["mu"]) * rng.uniform(size=B), jnp.float32)
+        forces[fn.key] = fp
+    if forces:
+        params["forces"] = forces
+    params["tau"] = jnp.asarray(
+        0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    return params
+
+
+def test_perlane_params_match_vmap_fallback():
+    """Per-lane physical params (I_i, h, g, contact kn/mu — the system-ID /
+    domain-randomization dimension): the numpy-oracle kernel solve == the
+    per-lane vmapped newton reference."""
+    sc = _ground_scene()
+    B = 8
+    params = _perlane_params(sc, B)
+    assert pallas_step._perlane_keys(params, sc.force_fns) == {
+        "I_i", "gh", "cp"}
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=41)
+
+    x_np, _ = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, params, x0, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
+    )
+
+    hess = integrators._hess_bdf2(sc.topo, sc.force_fns)
+    shared, lane = integrators.split_batched_params(params)
+
+    def one(lp, x0i, q0i, qd0i, q1i, qd1i):
+        p = integrators.merge_batched_params(shared, lp)
+        theta = (p, q0i, qd0i, q1i, qd1i, {})
+        res = lambda x: integrators.residual_bdf2(
+            sc.topo, sc.force_fns, p, x, q0i, qd0i, q1i, qd1i, {}
+        )
+        return integrators.newton(res, x0i, CFG,
+                                  jac_fn=lambda x: hess(theta, x))[0]
+
+    x_ref = np.asarray(jax.jit(
+        lambda lp, a, b, c, d, e: jax.vmap(one)(lp, a, b, c, d, e)
+    )(lane, x0, q0, qd0, q1, qd1))
+    fin = np.all(np.isfinite(x_ref), axis=-1)
+    assert fin.mean() > 0.5
+    np.testing.assert_array_equal(
+        np.all(np.isfinite(np.asarray(x_np)), axis=-1), fin)
+    np.testing.assert_allclose(
+        np.asarray(x_np)[fin], x_ref[fin], rtol=0, atol=1e-4)
+
+
+def test_perlane_inertia_vjp_matches_fallback():
+    """System identification through the kernel pipeline: cotangents of the
+    PER-LANE physical params (I_i [B,N,6], h [B]) from the production
+    factor-reusing backward == the fallback implicit_solve_factored VJP."""
+    sc = scene_chain(nlinks=3).compile(dtype=jnp.float32)
+    B = 4
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=43)
+    rng = np.random.default_rng(44)
+    Ii = jnp.asarray(
+        np.asarray(sc.params["I_i"])[None]
+        * (1.0 + 0.3 * rng.uniform(size=(B, 1, 1))), jnp.float32)
+    hB = jnp.asarray(
+        float(sc.params["h"]) * (1 + 0.2 * rng.uniform(size=B)), jnp.float32)
+    tau = jnp.asarray(0.1 * rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+    xbar = jnp.asarray(rng.normal(size=(B, sc.topo.nr)), jnp.float32)
+
+    def inner_q(step, Ii_b, h_b):
+        s = Bdf2State(q=q1, qdot=qd1, q_prev=q0, qdot_prev=qd0,
+                      k=jnp.ones((), jnp.int32), aux={})
+        p = {**sc.params, "tau": tau, "I_i": Ii_b, "h": h_b}
+        return step.inner(p, s).q
+
+    step_f = integrators.make_bdf2_step_batched(
+        sc.topo, (), CFG, differentiable=True, use_pallas=False
+    )
+    out_f, vjp_f = jax.vjp(lambda a, b: inner_q(step_f, a, b), Ii, hB)
+    cots_f = vjp_f(xbar)
+
+    # Production backward replicated with the numpy-oracle forward.
+    params = {**sc.params, "tau": tau, "I_i": Ii, "h": hB}
+    hcol = np.asarray(hB)[:, None]
+    guess = q1 + hcol * qd1 + 0.5 * hcol * (qd1 - qd0)
+    xstar, hinv = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, params, jnp.asarray(guess, jnp.float32),
+        q0, qd0, q1, qd1, xp=np,
+    )
+    xstar = jnp.asarray(xstar)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(xstar), atol=5e-6)
+    z = jnp.einsum("bsr,bs->br", jnp.asarray(hinv), xbar)
+
+    def res_b(Ii_b, h_b, x):
+        def one(ii, hi, ti, a, b, c, d, xi):
+            p = {**sc.params, "I_i": ii, "h": hi, "tau": ti}
+            return integrators.residual_bdf2(
+                sc.topo, (), p, xi, a, b, c, d, {}
+            )
+
+        return jax.vmap(one)(Ii_b, h_b, tau, q0, qd0, q1, qd1, x)
+
+    _, vjp_res = jax.vjp(lambda a, b: res_b(a, b, xstar), Ii, hB)
+    cots_p = vjp_res(-z)
+
+    for name, cf, cp in zip(["I_i", "h"], cots_f, cots_p):
         cf, cp = np.asarray(cf, np.float64), np.asarray(cp, np.float64)
         scale = max(np.abs(cf).max(), 1e-9)
         np.testing.assert_allclose(cp, cf, atol=5e-4 * scale, err_msg=name)
