@@ -30,6 +30,37 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _median_time(fn, reps: int = 5):
+    """Per-rep block_until_ready median (CLAUDE.md timing rule)."""
+    ts = []
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def _marginal_step_ms(make_sim, params, s0, nsteps):
+    """Marginal per-step cost: (t(4N) - t(N)) / 3N, per-rep medians.
+
+    The r4 report divided one total by nsteps; on this host a ~25 ms FIXED
+    dispatch overhead dominates mid-size programs while the smallest
+    executables dodge it entirely (measured: chain-5 euler 100 steps =
+    0.14 ms total but 400 steps = 31 ms; chain-10 100 steps = 25 ms and
+    400 steps = 30 ms) — which produced the two-orders-off-trend
+    0.0012 ms/step row. Differencing two horizon lengths cancels the
+    fixed term. Returns (marginal_ms_per_step, overhead_ms, final_state)."""
+    sim1 = jax.jit(make_sim(nsteps))
+    sim4 = jax.jit(make_sim(4 * nsteps))
+    t1, final = _median_time(lambda: sim1(params, s0))
+    t4, _ = _median_time(lambda: sim4(params, s0))
+    step_ms = max((t4 - t1) / (3 * nsteps) * 1e3, 0.0)
+    overhead = max(t1 * 1e3 - step_ms * nsteps, 0.0)
+    return step_ms, overhead, final
+
+
 def bench_scene(nlinks: int, nsteps: int = 100):
     from redmax_tpu import integrators, model, pcg
     from redmax_tpu.scenes import scene_chain
@@ -53,17 +84,16 @@ def bench_scene(nlinks: int, nsteps: int = 100):
 
     # --- dense linearly-implicit euler ---
     step = integrators.make_euler_step(sc.topo, sc.force_fns)
-    sim = jax.jit(integrators.make_simulate(step, nsteps))
     t0 = time.perf_counter()
-    final = sim(sc.params, sc.state0)
+    final = jax.jit(integrators.make_simulate(step, nsteps))(
+        sc.params, sc.state0)
     jax.block_until_ready(final.q)
     out["euler_compile_s"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    final = sim(sc.params, sc.state0)
-    jax.block_until_ready(final.q)
-    dt = time.perf_counter() - t0
-    out["euler_total_s"] = round(dt, 4)
-    out["euler_step_ms"] = round(dt / nsteps * 1e3, 4)
+    ms, ovh, final = _marginal_step_ms(
+        lambda n: integrators.make_simulate(step, n),
+        sc.params, sc.state0, nsteps)
+    out["euler_step_ms"] = round(ms, 4)
+    out["euler_dispatch_overhead_ms"] = round(ovh, 2)
     out["euler_stable"] = bool(np.all(np.isfinite(np.asarray(final.qdot))))
 
     # Certificates from the robust path: full damped Newton BDF2 (reference
@@ -87,16 +117,11 @@ def bench_scene(nlinks: int, nsteps: int = 100):
     # --- BDF2 structured chord ---
     cfg = integrators.NewtonConfig(fixed_iters=3, predictor="quadratic", chord=True, hessian="structured", linsolve="gj")
     step2 = integrators.make_bdf2_step(sc.topo, sc.force_fns, cfg)
-    sim2 = jax.jit(integrators.make_simulate(step2, nsteps))
     s0 = sc.initial_state("bdf2")
-    final2 = sim2(sc.params, s0)
-    jax.block_until_ready(final2.q)
-    t0 = time.perf_counter()
-    final2 = sim2(sc.params, s0)
-    jax.block_until_ready(final2.q)
-    dt = time.perf_counter() - t0
-    out["bdf2_total_s"] = round(dt, 4)
-    out["bdf2_step_ms"] = round(dt / nsteps * 1e3, 4)
+    ms, ovh, _ = _marginal_step_ms(
+        lambda n: integrators.make_simulate(step2, n), sc.params, s0, nsteps)
+    out["bdf2_step_ms"] = round(ms, 4)
+    out["bdf2_dispatch_overhead_ms"] = round(ovh, 2)
     return out
 
 

@@ -36,5 +36,6 @@ __all__ = [
     # submodules (imported lazily by users):
     # model, integrators, explicit, adjoint, dynamics, recursive, pcg,
     # constraints, qp, friction, forces, joints, euler, mesh, mpc, parallel,
-    # scenes, scenes_matlab, sceneio, export, checkpoint, metrics
+    # pallas_step, pallas_qp, scenes, scenes_matlab, sceneio, export,
+    # checkpoint, metrics
 ]

@@ -101,6 +101,16 @@ class NewtonConfig:
     # threshold); lanes that stalled after the residual already dropped
     # below half keep their half-resolved step.
     guarded: bool = False
+    # Affordable robust mode (r5): plain chord iterations with ONE guarded
+    # final iteration (full/half/stay-put on the last step only). Costs 2
+    # extra residual evaluations per SOLVE instead of per ITERATION — the
+    # middle option between plain chord and the full guard, whose
+    # select-heavy loop executes ~27x slower on TPU under Mosaic
+    # (benchmarks/robust_mode.json measures all three). The final-iteration
+    # stall check uses the same 0.5*g0n threshold as `guarded`, with g0n
+    # the first measured residual of the solve. Requires chord=True and
+    # guarded=False.
+    guard_last: bool = False
     # Fixed-iteration failure detection (none of these run a line search, so
     # a solve can end finite but far from the root; such lanes must not pass
     # downstream isfinite masks as valid states). A lane is rejected when
@@ -155,6 +165,10 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
 
     if cfg.fixed_iters > 0:
         # Unrolled (fixed_iters is static and small) so XLA fuses freely.
+        if cfg.guard_last:
+            assert cfg.chord and not cfg.guarded, (
+                "guard_last requires chord=True, guarded=False"
+            )
         factor, solve, _ = make_solver(cfg.linsolve)
 
         def clamp(dx):
@@ -202,12 +216,28 @@ def newton(res_fn: Callable, x0, cfg: NewtonConfig, jac_fn: Callable = None):
             gln = gn  # exact: g tracks the final iterate
         elif cfg.chord:
             F = factor(jac_fn(x0))
-            for _ in range(cfg.fixed_iters):
+            plain = cfg.fixed_iters - (1 if cfg.guard_last else 0)
+            for _ in range(plain):
                 g = res_fn(x)
                 gn = jnp.linalg.norm(g)
                 g0n = gn if g0n is None else g0n
                 gln = gn  # residual at the PRE-update iterate (1 stale)
                 x = x - clamp(solve(F, g))
+            if cfg.guard_last:
+                # One guarded final iteration (see guard_last docstring).
+                g = res_fn(x)
+                gn = jnp.linalg.norm(g)
+                g0n = gn if g0n is None else g0n
+                dx = clamp(solve(F, g))
+                g_full = res_fn(x - dx)
+                gfn = jnp.linalg.norm(g_full)
+                ok_full = gfn <= gn
+                x_half = x - 0.5 * dx
+                ghn = jnp.linalg.norm(res_fn(x_half))
+                ok_half = ghn <= gn
+                stayput = ~ok_full & ~ok_half
+                x = jnp.where(ok_full, x - dx, jnp.where(ok_half, x_half, x))
+                gln = jnp.where(ok_full, gfn, jnp.where(ok_half, ghn, gn))
         else:
             F = None
             for _ in range(cfg.fixed_iters):
@@ -1076,5 +1106,105 @@ def make_euler_step(
         q1 = q0 + h * qdot1
         q1, qdot1, aux, _, _ = reparam_all(topo, params, q1, qdot1, aux)
         return State(q=q1, qdot=qdot1, aux=aux)
+
+    return step
+
+
+def make_euler_step_batched(
+    topo: Topology,
+    force_fns: Tuple = (),
+    constraint_fns: Tuple = (),
+    pgs_iters: int = 40,
+    qp_impl: str = "xla",
+):
+    """Batched linearly-implicit Euler step with constraints over [B, nr]
+    states — the TPU contact-QP tier (SURVEY §7 step 8: "batched boxed-QP/
+    projected solver replacing quadprog").
+
+    Assembly (euler_system + constraint rows) vmaps per lane; the
+    constrained solve then runs ONE explicitly-batched program:
+    qp.qp_pgs_batched (lanes = scenes, dual-PGS rows unrolled) for
+    inequality/boxed rows, a vmapped dense KKT for pure-equality scenes.
+    qp_impl="pallas" routes the inequality solve through the FUSED
+    pallas_qp.make_dual_pgs kernel instead (one pallas_call for GJ
+    inverse + Schur setup + sweeps — wins when the XLA op-chain launch
+    latency dominates, benchmarks/bench_qp.json).
+    Per-lane params follow split_batched_params (tau, I_i, h, g, contact
+    coefficients may be [B, ...]). Semantics match jax.vmap of
+    make_euler_step lane-for-lane (tests/test_euler_constraints.py).
+
+    Scope: scenes whose discrete aux state is empty (no Euler-chart
+    joints) — exp-map reparams are applied vmapped; chart scenes should
+    vmap make_euler_step directly.
+    """
+    from redmax_tpu.constraints import assemble_constraints
+    from redmax_tpu.qp import kkt_solve, qp_pgs_batched
+
+    def assemble_one(params, q0, qdot0):
+        sys = euler_system(topo, force_fns, params, q0, qdot0, {})
+        if constraint_fns:
+            rows = assemble_constraints(
+                constraint_fns, params, topo, sys["kin"], sys["phi"],
+                q0, qdot0, sys["J"]
+            )
+            return sys["Mrtilde"], sys["frtilde"], rows
+        return sys["Mrtilde"], sys["frtilde"]
+
+    def step(params: Dict, state: State) -> State:
+        q0, qdot0 = state.q, state.qdot
+        dtype = q0.dtype
+        B = q0.shape[0]
+        shared, lane = split_batched_params(params)
+        if lane:
+            res = jax.vmap(
+                lambda lp, q, qd: assemble_one(
+                    merge_batched_params(shared, lp), q, qd)
+            )(lane, q0, qdot0)
+        else:
+            res = jax.vmap(lambda q, qd: assemble_one(params, q, qd))(
+                q0, qdot0)
+        h = params["h"]
+        hB = h[:, None] if getattr(h, "ndim", 0) == 1 else h
+        if constraint_fns:
+            Mrt, frt, rows = res
+            baum3 = params.get(
+                "baumgarte", jnp.array([5.0, 5.0, 5.0], dtype))[2]
+            me = rows["Geq"].shape[1]
+            mi = rows["Cin"].shape[1]
+            rhsG = -rows["geqdot"] - baum3 * rows["geq"]
+            if mi == 0:
+                qdot1, _ = jax.vmap(kkt_solve)(Mrt, rows["Geq"], frt, rhsG)
+            else:
+                act = rows["act"].astype(dtype)[..., None]
+                Cin = rows["Cin"] * act
+                rhsC = jnp.where(rows["act"], -baum3 * rows["cin"], 0.0)
+                A = jnp.concatenate([rows["Geq"], Cin], axis=1)
+                bq = jnp.concatenate([rhsG, rhsC], axis=1)
+                inf = jnp.inf
+                lo = jnp.concatenate(
+                    [jnp.full((B, me), -inf, dtype),
+                     jnp.zeros((B, mi), dtype)], axis=1)
+                hi = jnp.concatenate(
+                    [jnp.full((B, me), inf, dtype),
+                     jnp.where(rows["act"], inf, 0.0)], axis=1)
+                if qp_impl == "pallas":
+                    from redmax_tpu import pallas_qp
+
+                    solver = pallas_qp.make_dual_pgs(
+                        topo.nr, me + mi, iters=pgs_iters
+                    )
+                    qdot1, _ = solver(Mrt, frt, A, bq, lo, hi)
+                else:
+                    qdot1, _ = qp_pgs_batched(
+                        Mrt, frt, A, bq, lo, hi, pgs_iters
+                    )
+        else:
+            Mrt, frt = res
+            qdot1 = jnp.linalg.solve(Mrt, frt)
+        q1 = q0 + hB * qdot1
+        q1, qdot1 = jax.vmap(
+            lambda qq, qd: reparam_all(topo, params, qq, qd, {})[:2]
+        )(q1, qdot1)
+        return State(q=q1, qdot=qdot1, aux=state.aux)
 
     return step

@@ -241,14 +241,24 @@ def _make_exp_reparam(rot_slice):
     """
 
     def so3_S(r):
-        # Body Jacobian of exp_so3 at r (3x3): S = unhat(R^T dR/dr_k) columns.
-        def rot(rr):
-            return se3.exp_so3(rr)
-
-        R = rot(r)
-        dR = jax.jacfwd(rot)(r)  # [3,3,3], last axis = d/dr_k
-        cols = [se3.unhat3(R.T @ dR[:, :, k]) for k in range(3)]
-        return jnp.stack(cols, axis=-1)
+        # Body Jacobian of exp_so3 at r: the SO(3) right Jacobian
+        #   Jr(r) = I - a(s) W + b(s) W^2,  s = |r|^2, W = hat(r),
+        #   a = (1-cos t)/t^2, b = (t - sin t)/t^3
+        # in closed form (smooth, EVEN functions of t written in s, Taylor
+        # below s = 0.04 where the trig forms cancel in f32) — equal to
+        # jacfwd of exp_so3 to machine precision, at a fraction of the
+        # graph (this runs per lane per step in the batched pipeline).
+        dtype = r.dtype
+        s = jnp.dot(r, r)
+        sg = jnp.maximum(s, jnp.asarray(1e-12, dtype))
+        th = jnp.sqrt(sg)
+        small = s < 0.04
+        a = jnp.where(small, 0.5 - s / 24.0 + s * s / 720.0,
+                      (1.0 - jnp.cos(th)) / sg)
+        b = jnp.where(small, 1.0 / 6.0 - s / 120.0 + s * s / 5040.0,
+                      (th - jnp.sin(th)) / (sg * th))
+        W = se3.hat3(r)
+        return jnp.eye(3, dtype=dtype) - a * W + b * (W @ W)
 
     def reparam(q, qdot, params):
         r = q[rot_slice]

@@ -88,17 +88,19 @@ def supports(topo: Topology, force_fns: Tuple) -> bool:
     """True when the fused kernel covers this scene's step exactly.
 
     Force closures computed inside the kernel: penalty ground contact
-    (ForceGroundCuboid), and (r5) the two-point spring closures
-    ForcePointPoint / ForceSpringDamper with closed-form pairwise K/D
-    lane blocks (_spring_force below). Any other force type (cables,
-    SpringDamperM, deformables) routes to the vmapped fallback.
+    (ForceGroundCuboid), the two-point spring closures ForcePointPoint /
+    ForceSpringDamper with closed-form pairwise K/D lane blocks
+    (_spring_force below), and the multi-point tension-only cable
+    (ForceCable, _cable_force — shared tension couples every point pair).
+    Any other force type (SpringDamperM, deformables) routes to the
+    vmapped fallback.
     """
-    from redmax_tpu.forces import (ForceGroundCuboid, ForcePointPoint,
-                                   ForceSpringDamper)
+    from redmax_tpu.forces import (ForceCable, ForceGroundCuboid,
+                                   ForcePointPoint, ForceSpringDamper)
 
     for f in force_fns:
         if type(f) not in (ForceGroundCuboid, ForcePointPoint,
-                           ForceSpringDamper):
+                           ForceSpringDamper, ForceCable):
             return False
     return all(JointType(t) in _SUPPORTED for t in topo.jtype)
 
@@ -511,6 +513,174 @@ def _spring_force(st1, st2, sp, f32, xp, want_blocks: bool):
     return w1, w2, blocks
 
 
+def _point_pair_blocks(stj, sti, fbj, A, B, same_point):
+    """Generic wrench-derivative 6x6 blocks between two body points under
+    the structured_hessian perturbation convention: point j's wrench
+    W_j = Gamma_j^T R_j^T F_j, with A = dF_j/dx_i, B = dF_j/dv_i (world
+    3x3). Returns (K, D) 6x6 lane-block lists.
+
+        dW_j/dxi_i  = Gamma_j^T ([same_point ? hat(fb_j) : 0 | 0]
+                      + R_j^T (A R_i Gamma_i + B [-R_i hat(w_i) | 0]))
+        dW_j/dphi_i = Gamma_j^T R_j^T B R_i Gamma_i
+
+    (the factored core of _spring_force's derivation, shared with
+    _cable_force)."""
+    _, _, Rj, _, rj = stj
+    _, _, Ri, wi, ri = sti
+    Rjt = _mat3_T(Rj)
+    P = _mat3_mul(Rjt, _mat3_mul(A, Ri))
+    Q = _mat3_mul(Rjt, _mat3_mul(B, Ri))
+    hri, hwi = _hat(ri), _hat(wi)
+    hrj = _hat(rj)
+    Phr = _mat3_mul(P, hri)
+    Qhw = _mat3_mul(Q, hwi)
+    Qhr = _mat3_mul(Q, hri)
+    hfb = _hat(fbj) if same_point else [[0.0] * 3 for _ in range(3)]
+    ML = [[hfb[i][j] - Phr[i][j] - Qhw[i][j] for j in range(3)]
+          for i in range(3)]
+    DL = [[-Qhr[i][j] for j in range(3)] for i in range(3)]
+    hrML = _mat3_mul(hrj, ML)
+    hrP = _mat3_mul(hrj, P)
+    hrDL = _mat3_mul(hrj, DL)
+    hrQ = _mat3_mul(hrj, Q)
+    K = [[0.0] * 6 for _ in range(6)]
+    D = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            K[i][j] = hrML[i][j]
+            K[i][3 + j] = hrP[i][j]
+            K[3 + i][j] = ML[i][j]
+            K[3 + i][3 + j] = P[i][j]
+            D[i][j] = hrDL[i][j]
+            D[i][3 + j] = hrQ[i][j]
+            D[3 + i][j] = DL[i][j]
+            D[3 + i][3 + j] = Q[i][j]
+    return K, D
+
+
+def _cable_force(sts, cab, f32, xp, want_blocks: bool):
+    """Tension-only multi-point cable (ForceCable /
+    ForceSpringMultiPointGeneric, matlab-diff: ForceCable.m:66-84,
+    ForceSpringMultiPointGeneric.m:28-95) on one lane block.
+
+    sts = per-point endpoint states (x, v, R, w, r); world points carry
+    R = None. cab = dict(k, d, L). Value law (forces.ForceCable):
+        l = sum_k |dx_k|, ldot = sum_k u_k . dv_k,
+        fs = gate * (k (l-L)/L + d ldot/L),  gate = (l > L),
+        point j force F_j = fs (u_j [j < P-1] - u_{j-1} [j > 0]) = fs c_j.
+
+    Closed-form derivatives (the shared tension couples EVERY point pair):
+        dl/dx_i    = -c_i
+        dldot/dx_i = Pm_{i-1} dv_{i-1}/l_{i-1} - Pm_i dv_i/l_i
+                     (Pm_k = I - u_k u_k^T)
+        a_i = dfs/dx_i = gate (-(k/L) c_i + (d/L) dldot/dx_i)
+        dF_j/dx_i = c_j (x) a_i + fs D_ji,
+          D_ji = (Pm_j/l_j)(d_{i,j+1} - d_{i,j})
+               - (Pm_{j-1}/l_{j-1})(d_{i,j} - d_{i,j-1})
+        dF_j/dv_i = -gate (d/L) c_j (x) c_i
+    mapped to body-frame wrench blocks by _point_pair_blocks. Exact jacfwd
+    of the closure (masks frozen), gated in tests/test_pallas_step.py.
+
+    Returns (wrenches [P of 6-list or None], blocks {(j, i): (K, D)}).
+    """
+    P = len(sts)
+    k, d, L = cab["k"], cab["d"], cab["L"]
+    segs = []
+    l = 0.0
+    ldot = 0.0
+    for s in range(P - 1):
+        x1, v1 = sts[s][0], sts[s][1]
+        x2, v2 = sts[s + 1][0], sts[s + 1][1]
+        dx = [x2[i] - x1[i] for i in range(3)]
+        dv = [v2[i] - v1[i] for i in range(3)]
+        l2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+        lk = xp.sqrt(xp.maximum(l2, 1e-24))
+        linv = 1.0 / lk
+        u = [dx[i] * linv for i in range(3)]
+        l = l + lk
+        ldot = ldot + (u[0] * dv[0] + u[1] * dv[1] + u[2] * dv[2])
+        segs.append({"u": u, "dv": dv, "linv": linv})
+    fs_raw = k * (l - L) / L + d * ldot / L
+    gate = (l > L).astype(f32)
+    fs = gate * fs_raw
+
+    def seg_u(j):
+        return segs[j]["u"] if 0 <= j < P - 1 else None
+
+    def c_of(j):
+        uj, ujm = seg_u(j), seg_u(j - 1)
+        out = [0.0, 0.0, 0.0]
+        if uj is not None:
+            out = [out[i] + uj[i] for i in range(3)]
+        if ujm is not None:
+            out = [out[i] - ujm[i] for i in range(3)]
+        return out
+
+    cs = [c_of(j) for j in range(P)]
+    wrenches = [None] * P
+    for j in range(P):
+        if sts[j][2] is None:
+            continue
+        Fj = [fs * cs[j][i] for i in range(3)]
+        fb = _mat3_vec(_mat3_T(sts[j][2]), Fj)
+        wrenches[j] = _cross(sts[j][4], fb) + fb
+    blocks = {}
+    if not want_blocks:
+        return wrenches, blocks
+
+    def Pm(jseg):
+        u = segs[jseg]["u"]
+        return [[(1.0 if a == b else 0.0) - u[a] * u[b] for b in range(3)]
+                for a in range(3)]
+
+    # a_i = dfs/dx_i (3-vec per point)
+    a_of = []
+    for i in range(P):
+        ai = [-gate * (k / L) * cs[i][j] for j in range(3)]
+        if i - 1 >= 0:
+            Pv = _mat3_vec(Pm(i - 1), segs[i - 1]["dv"])
+            ai = [ai[j] + gate * (d / L) * Pv[j] * segs[i - 1]["linv"]
+                  for j in range(3)]
+        if i < P - 1:
+            Pv = _mat3_vec(Pm(i), segs[i]["dv"])
+            ai = [ai[j] - gate * (d / L) * Pv[j] * segs[i]["linv"]
+                  for j in range(3)]
+        a_of.append(ai)
+
+    def D_ji(j, i):
+        out = [[0.0] * 3 for _ in range(3)]
+        if j < P - 1:
+            Pj = Pm(j)
+            s = (1.0 if i == j + 1 else 0.0) - (1.0 if i == j else 0.0)
+            if s:
+                out = [[out[a][b] + s * Pj[a][b] * segs[j]["linv"]
+                        for b in range(3)] for a in range(3)]
+        if j - 1 >= 0:
+            Pj = Pm(j - 1)
+            s = (1.0 if i == j else 0.0) - (1.0 if i == j - 1 else 0.0)
+            if s:
+                out = [[out[a][b] - s * Pj[a][b] * segs[j - 1]["linv"]
+                        for b in range(3)] for a in range(3)]
+        return out
+
+    for j in range(P):
+        if sts[j][2] is None:
+            continue
+        Fj = [fs * cs[j][i] for i in range(3)]
+        fbj = _mat3_vec(_mat3_T(sts[j][2]), Fj)
+        for i in range(P):
+            if sts[i][2] is None:
+                continue
+            Dji = D_ji(j, i)
+            A = [[cs[j][a] * a_of[i][b] + fs * Dji[a][b] for b in range(3)]
+                 for a in range(3)]
+            B = [[-gate * (d / L) * cs[j][a] * cs[i][b] for b in range(3)]
+                 for a in range(3)]
+            blocks[(j, i)] = _point_pair_blocks(
+                sts[j], sts[i], fbj, A, B, same_point=(i == j))
+    return wrenches, blocks
+
+
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
@@ -518,7 +688,8 @@ def _spring_force(st1, st2, sp, f32, xp, want_blocks: bool):
 
 def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES,
                   xp=jnp, contact_bodies: Tuple[int, ...] = (),
-                  springs: Tuple = (), perlane: frozenset = frozenset()):
+                  springs: Tuple = (), cables: Tuple = (),
+                  perlane: frozenset = frozenset()):
     """Trace-time construction of the fused chord-solve kernel.
 
     Static data baked in: parent array, joint types, dof offsets, ancestor
@@ -528,9 +699,11 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
     kernel(refs...) closing over them. When contact_bodies is non-empty the
     kernel takes one extra input ref cp_ref [C, 13] = per contact (sides[3],
     kn, kt, kd, mu, xg[3], ng[3]); when springs is non-empty one more,
-    sp_ref [S, 9] = per spring (xl1[3], xl2[3], k, d, L).
+    sp_ref [S, 9] = per spring (xl1[3], xl2[3], k, d, L); when cables
+    (one dict per ForceCable: bodies — see _cable_spec) is non-empty one
+    more, cb_ref [1, total] flat per-cable [xls (3P), k, d, L] rows.
 
-    perlane ⊆ {"I_i", "gh", "bd", "cp", "sp"}: inputs promoted to PER-LANE
+    perlane ⊆ {"I_i", "gh", "bd", "cp", "sp", "cb"}: inputs promoted to PER-LANE
     blocks (the scenario-sampling / system-ID dimension — inertia, gravity
     + timestep, body damping, contact and spring coefficients vary per
     batch lane). A per-lane input arrives flattened to lane-block rows
@@ -556,10 +729,22 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
     dofj = [int(j) for j in topo.dof_joint()]                   # [nr]
     C = len(contact_bodies)
     SP = len(springs)
+    CB = len(cables)
+    # static flat offsets into cb_ref (per-cable stride 3P + 3)
+    cab_offs = []
+    _o = 0
+    for cb in cables:
+        cab_offs.append(_o)
+        _o += 3 * len(cb["bodies"]) + 3
     assert kind == "bdf2"
     fixed_iters = cfg.fixed_iters
     guarded = bool(cfg.guarded)
+    guard_last = bool(getattr(cfg, "guard_last", False))
     chord = bool(cfg.chord)
+    if guard_last:
+        assert chord and not guarded, (
+            "guard_last requires chord=True, guarded=False"
+        )
     growth_reject = float(cfg.growth_reject)
     tol_reject = float(cfg.tol_reject)
     dx_clamp = float(cfg.dx_clamp)
@@ -573,6 +758,9 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
             ri += 1
         if SP:
             sp_ref = rest[ri]
+            ri += 1
+        if CB:
+            cb_ref = rest[ri]
             ri += 1
         x_out_ref, hinv_out_ref = rest[ri], rest[ri + 1]
         f32 = x0_ref.dtype
@@ -649,20 +837,39 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
             for s in range(SP)
         ]
 
+        def _cbr(idx):
+            return cb_ref[idx] if "cb" in perlane else cb_ref[0, idx]
+
+        cbs = []
+        for ci in range(CB):
+            o = cab_offs[ci]
+            Pn = len(cables[ci]["bodies"])
+            cbs.append({
+                "bodies": cables[ci]["bodies"],
+                "xls": [[_cbr(o + 3 * pi + k) for k in range(3)]
+                        for pi in range(Pn)],
+                "k": _cbr(o + 3 * Pn), "d": _cbr(o + 3 * Pn + 1),
+                "L": _cbr(o + 3 * Pn + 2),
+            })
+
+        def point_state(Ew, phi, b, r):
+            """Body-point state (x, v, R, w, r) for the force closures;
+            world-fixed points (body < 0) carry R = None."""
+            if b < 0:
+                return (r, [0.0, 0.0, 0.0], None, None, r)
+            R, p = Ew[b]
+            x = [p[i] + sum(R[i][k] * r[k] for k in range(3))
+                 for i in range(3)]
+            w = [a + b2 for a, b2 in zip(_cross(phi[b][:3], r), phi[b][3:])]
+            return (x, _mat3_vec(R, w), R, w, r)
+
         def spring_states(Ew, phi, sp):
-            """Endpoint states (x, v, R, u, r) for _spring_force; world-fixed
-            endpoints (body < 0) carry R = None."""
+            return (point_state(Ew, phi, sp["b1"], sp["xl1"]),
+                    point_state(Ew, phi, sp["b2"], sp["xl2"]))
 
-            def pt(b, r):
-                if b < 0:
-                    return (r, [0.0, 0.0, 0.0], None, None, r)
-                R, p = Ew[b]
-                x = [p[i] + sum(R[i][k] * r[k] for k in range(3))
-                     for i in range(3)]
-                u = [a + b2 for a, b2 in zip(_cross(phi[b][:3], r), phi[b][3:])]
-                return (x, _mat3_vec(R, u), R, u, r)
-
-            return pt(sp["b1"], sp["xl1"]), pt(sp["b2"], sp["xl2"])
+        def cable_states(Ew, phi, cb):
+            return [point_state(Ew, phi, b, xl)
+                    for b, xl in zip(cb["bodies"], cb["xls"])]
 
         # body-frame motion subspace columns Sb = Ad(inv(E0_ji)) S.
         # Constant-S types: static (scalar entries). UNIVERSAL: S(q) — filled
@@ -862,6 +1069,12 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                 if w2 is not None:
                     b = sp["b2"]
                     fm[b] = [fm[b][k] + w2[k] for k in range(6)]
+            for cb in cbs:
+                wrs, _ = _cable_force(cable_states(Ew, phi, cb), cb, f32,
+                                      xp, want_blocks=False)
+                for b, wr in zip(cb["bodies"], wrs):
+                    if wr is not None:
+                        fm[b] = [fm[b][k] + wr[k] for k in range(6)]
             return fm
 
         # BDF2 inner-step constants (residual_bdf2 / _hess_bdf2)
@@ -943,26 +1156,33 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                         qvv = sum(Ii[i][k] * J[i][r][k] * Jd[i][s][k]
                                   for k in range(6))
                         H[r][s] = H[r][s] + m_rs + kd + cD * (-2.0) * qvv
-            # Spring closures: pairwise K/D blocks (incl. the cross blocks
-            # coupling body1 <-> body2), H[r][s] += J_b[r]^T G J_c[s] with
-            # G = cK K_bc + cD D_bc.
+            # Spring/cable closures: pairwise K/D blocks (incl. the cross
+            # blocks coupling the endpoint bodies),
+            # H[r][s] += J_b[r]^T G J_c[s] with G = cK K_bc + cD D_bc.
+            def add_pair(bb, cc, Ksp, Dsp):
+                G6 = [[cK * Ksp[a][b2] + cD * Dsp[a][b2]
+                       for b2 in range(6)] for a in range(6)]
+                colsb = [r for r in range(nr) if J[bb][r] is not None]
+                colsc = [s for s in range(nr) if J[cc][s] is not None]
+                GJ = {s: _mat6_vec(G6, J[cc][s]) for s in colsc}
+                for r in colsb:
+                    for s in colsc:
+                        H[r][s] = H[r][s] + sum(
+                            J[bb][r][k] * GJ[s][k] for k in range(6)
+                        )
+
             for sp in sps:
                 st1, st2 = spring_states(Ew, phi, sp)
                 _, _, blocks = _spring_force(st1, st2, sp, f32, xp,
                                              want_blocks=True)
                 bodies = (sp["b1"], sp["b2"])
                 for (bi, ci), (Ksp, Dsp) in blocks.items():
-                    bb, cc = bodies[bi], bodies[ci]
-                    G6 = [[cK * Ksp[a][b2] + cD * Dsp[a][b2]
-                           for b2 in range(6)] for a in range(6)]
-                    colsb = [r for r in range(nr) if J[bb][r] is not None]
-                    colsc = [s for s in range(nr) if J[cc][s] is not None]
-                    GJ = {s: _mat6_vec(G6, J[cc][s]) for s in colsc}
-                    for r in colsb:
-                        for s in colsc:
-                            H[r][s] = H[r][s] + sum(
-                                J[bb][r][k] * GJ[s][k] for k in range(6)
-                            )
+                    add_pair(bodies[bi], bodies[ci], Ksp, Dsp)
+            for cb in cbs:
+                _, blocks = _cable_force(cable_states(Ew, phi, cb), cb,
+                                         f32, xp, want_blocks=True)
+                for (pi, pj), (Ksp, Dsp) in blocks.items():
+                    add_pair(cb["bodies"][pi], cb["bodies"][pj], Ksp, Dsp)
             for r in range(nr):
                 Krd = -stiff[r] - hit[r] * qlimK[r]
                 Drd = -damp[r] - hit[r] * qlimD[r]
@@ -1041,7 +1261,8 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
         else:
             g0n = None
             gln = None
-            for it in range(fixed_iters):
+            plain = fixed_iters - (1 if guard_last else 0)
+            for it in range(plain):
                 if not chord and it > 0:
                     Hit, _ = hessian(x)
                     Hinv = gj_inverse(Hit)
@@ -1052,6 +1273,28 @@ def _build_kernel(topo: Topology, cfg, kind: str, lanes: Tuple[int, ...] = LANES
                 gln = gn
                 dx = hsolve(Hinv, g)
                 x = [x[r] - dx[r] for r in range(nr)]
+            if guard_last:
+                # One guarded final iteration (NewtonConfig.guard_last): 2
+                # extra residual evals per SOLVE, not per iteration — the
+                # affordable robust mode (benchmarks/robust_mode.json).
+                g = residual(x, pre=pre0 if plain == 0 else None)
+                gn = xp.sqrt(sum(gi * gi for gi in g))
+                if g0n is None:
+                    g0n = gn
+                dx = hsolve(Hinv, g)
+                x_full = [x[r] - dx[r] for r in range(nr)]
+                g_full = residual(x_full)
+                gfn = xp.sqrt(sum(gi * gi for gi in g_full))
+                ok_full = gfn <= gn
+                x_half = [x[r] - 0.5 * dx[r] for r in range(nr)]
+                g_half = residual(x_half)
+                ghn = xp.sqrt(sum(gi * gi for gi in g_half))
+                ok_half = ghn <= gn
+                stayput = ~ok_full & ~ok_half
+                x = [xp.where(ok_full, x_full[r],
+                              xp.where(ok_half, x_half[r], x[r]))
+                     for r in range(nr)]
+                gln = xp.where(ok_full, gfn, xp.where(ok_half, ghn, gn))
 
         if xp is np:
             _ORACLE_DIAG.update(g0n=g0n, gln=gln, stayput=stayput)
@@ -1147,20 +1390,22 @@ def _prep_static(topo: Topology, params: Dict, dtype, xp=jnp):
 
 
 def _split_forces(force_fns: Tuple):
-    """(ground_fns, spring_fns) in force_fns order; supports() guarantees
-    nothing else is present on the kernel path."""
-    from redmax_tpu.forces import ForceGroundCuboid
+    """(ground_fns, spring_fns, cable_fns) in force_fns order; supports()
+    guarantees nothing else is present on the kernel path."""
+    from redmax_tpu.forces import ForceCable, ForceGroundCuboid
 
     gnd = tuple(f for f in force_fns if isinstance(f, ForceGroundCuboid))
-    spr = tuple(f for f in force_fns if not isinstance(f, ForceGroundCuboid))
-    return gnd, spr
+    cab = tuple(f for f in force_fns if isinstance(f, ForceCable))
+    spr = tuple(f for f in force_fns
+                if not isinstance(f, (ForceGroundCuboid, ForceCable)))
+    return gnd, spr, cab
 
 
 def _pack_contacts(force_fns: Tuple, params: Dict, dtype, xp=jnp):
     """cp [C, 13] rows: sides[3], kn, kt, kd, mu, xg[3], ng[3] — one row per
     ForceGroundCuboid instance, force_fns order. Returns (contact_bodies, cp);
     cp is None when there are no contacts."""
-    force_fns, _ = _split_forces(force_fns)
+    force_fns, _, _ = _split_forces(force_fns)
     bodies = tuple(int(fn.body) for fn in force_fns)
     if not bodies:
         return (), None
@@ -1189,7 +1434,7 @@ def _perlane_keys(params: Dict, force_fns: Tuple) -> frozenset:
     bd = params.get("body_damping")
     if bd is not None and bd.ndim == 2:
         pl.add("bd")
-    gnd, spr = _split_forces(force_fns)
+    gnd, spr, cab = _split_forces(force_fns)
     for fn in gnd:
         fp = params["forces"][fn.key]
         if any(getattr(fp.get(p), "ndim", 0) == 1
@@ -1200,13 +1445,54 @@ def _perlane_keys(params: Dict, force_fns: Tuple) -> frozenset:
         if any(getattr(fp.get(p, None), "ndim", 0) == 1
                for p in ("k", "d", "L")):
             pl.add("sp")
+    for fn in cab:
+        fp = params["forces"][fn.key]
+        if any(getattr(fp.get(p, None), "ndim", 0) == 1
+               for p in ("k", "d", "L")):
+            pl.add("cb")
     return frozenset(pl)
+
+
+def _cable_spec(force_fns: Tuple) -> Tuple:
+    """Static cable descriptors (bodies tuple) — one per ForceCable."""
+    _, _, cab = _split_forces(force_fns)
+    return tuple({"bodies": tuple(int(b) for b in fn.bodies)} for fn in cab)
+
+
+def _pack_cables(force_fns: Tuple, params: Dict, dtype, xp=jnp):
+    """cb [1, total] flat cable params, per-cable layout
+    [xls (3P), k, d, L] at static offsets. None when there are no cables."""
+    _, _, cab = _split_forces(force_fns)
+    if not cab:
+        return None
+    ents = []
+    for fn in cab:
+        fp = params["forces"][fn.key]
+        ents.append(xp.asarray(fp["xls"]).reshape(-1))
+        ents.append(xp.asarray(fp["k"]).reshape(1))
+        ents.append(xp.asarray(fp["d"]).reshape(1))
+        ents.append(xp.asarray(fp["L"]).reshape(1))
+    return xp.concatenate(ents).reshape(1, -1).astype(dtype)
+
+
+def _pack_cables_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
+    """Per-lane cable packing: [total, B] (entry order of _pack_cables)."""
+    _, _, cab = _split_forces(force_fns)
+    cols = []
+    for fn in cab:
+        fp = params["forces"][fn.key]
+        xls = xp.asarray(fp["xls"]).reshape(-1)
+        ents = [xls[i] for i in range(xls.shape[0])] + [
+            fp["k"], fp["d"], fp["L"]]
+        for e in ents:
+            cols.append(xp.broadcast_to(xp.asarray(e).astype(dtype), (B,)))
+    return xp.stack(cols, axis=0)
 
 
 def _pack_contacts_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
     """Per-lane contact packing: [C*13, B] lane-column rows (same entry
     order as _pack_contacts), broadcasting lane-shared entries to [B]."""
-    gnd, _ = _split_forces(force_fns)
+    gnd, _, _ = _split_forces(force_fns)
     cols = []
     for fn in gnd:
         fp = params["forces"][fn.key]
@@ -1222,7 +1508,7 @@ def _pack_contacts_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
 
 def _pack_springs_lane(force_fns: Tuple, params: Dict, dtype, B, xp=jnp):
     """Per-lane spring packing: [S*9, B] (entry order of _pack_springs)."""
-    _, spr = _split_forces(force_fns)
+    _, spr, _ = _split_forces(force_fns)
     cols = []
     for fn in spr:
         fp = params["forces"][fn.key]
@@ -1241,7 +1527,7 @@ def _spring_spec(force_fns: Tuple) -> Tuple:
     one per ForcePointPoint / ForceSpringDamper, force_fns order."""
     from redmax_tpu.forces import ForcePointPoint
 
-    _, spr = _split_forces(force_fns)
+    _, spr, _ = _split_forces(force_fns)
     return tuple(
         {
             "kind": "pp" if type(fn) is ForcePointPoint else "sd",
@@ -1255,7 +1541,7 @@ def _spring_spec(force_fns: Tuple) -> Tuple:
 def _pack_springs(force_fns: Tuple, params: Dict, dtype, xp=jnp):
     """sp [S, 9] rows: xl1[3], xl2[3], k, d, L (0 for point-point springs) —
     one row per spring closure, force_fns order. None when there are none."""
-    _, spr = _split_forces(force_fns)
+    _, spr, _ = _split_forces(force_fns)
     if not spr:
         return None
     rows = []
@@ -1320,16 +1606,19 @@ def chord_bdf2_dense(topo: Topology, cfg, params: Dict, x0, q0, qd0, q1, qd1,
     perlane = _perlane_keys(params, force_fns)
     springs = _spring_spec(force_fns)
     if "cp" in perlane:
-        gnd_fns, _ = _split_forces(force_fns)
+        gnd_fns, _, _ = _split_forces(force_fns)
         contact_bodies = tuple(int(fn.body) for fn in gnd_fns)
         cp = _pack_contacts_lane(force_fns, params, dtype, B, xp=xp)
     else:
         contact_bodies, cp = _pack_contacts(force_fns, params, dtype, xp=xp)
     sp = (_pack_springs_lane(force_fns, params, dtype, B, xp=xp)
           if "sp" in perlane else _pack_springs(force_fns, params, dtype, xp=xp))
+    cables = _cable_spec(force_fns)
+    cb = (_pack_cables_lane(force_fns, params, dtype, B, xp=xp)
+          if "cb" in perlane else _pack_cables(force_fns, params, dtype, xp=xp))
     kernel = _build_kernel(topo, cfg, "bdf2", lanes=(B,), xp=xp,
                            contact_bodies=contact_bodies, springs=springs,
-                           perlane=perlane)
+                           cables=cables, perlane=perlane)
     tau = params["tau"]
     if tau.ndim == 1:
         tau = xp.broadcast_to(tau, (B, nr))
@@ -1345,6 +1634,8 @@ def chord_bdf2_dense(topo: Topology, cfg, params: Dict, x0, q0, qd0, q1, qd1,
     extra = (_Ref(cp, xp),) if contact_bodies else ()
     if springs:
         extra = extra + (_Ref(sp, xp),)
+    if cables:
+        extra = extra + (_Ref(cb, xp),)
     kernel(
         lane(x0), lane(q0), lane(qd0), lane(q1), lane(qd1), lane(tau),
         _Ref(params["E0_pj"].astype(dtype), xp),
@@ -1383,13 +1674,15 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
         return partial(chord_bdf2_dense, topo, cfg, xp=jnp,
                        force_fns=force_fns)
     N, nr = topo.njoints, topo.nr
-    gnd_fns, _ = _split_forces(force_fns)
+    gnd_fns, _, _ = _split_forces(force_fns)
     contact_bodies = tuple(int(fn.body) for fn in gnd_fns)
     springs = _spring_spec(force_fns)
+    cables = _cable_spec(force_fns)
     Ccnt = len(contact_bodies)
     Scnt = len(springs)
+    CBtot = sum(3 * len(cb["bodies"]) + 3 for cb in cables)
     kernel = _build_kernel(topo, cfg, "bdf2", contact_bodies=contact_bodies,
-                           springs=springs)
+                           springs=springs, cables=cables)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -1410,7 +1703,7 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
         kern = (kernel if not perlane else
                 _build_kernel(topo, cfg, "bdf2",
                               contact_bodies=contact_bodies, springs=springs,
-                              perlane=perlane))
+                              cables=cables, perlane=perlane))
 
         axes, jsf, bd, gh = _prep_static(topo, params, dtype)
         if "cp" in perlane:
@@ -1419,6 +1712,8 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
             _, cp = _pack_contacts(force_fns, params, dtype)
         sp = (_pack_springs_lane(force_fns, params, dtype, B)
               if "sp" in perlane else _pack_springs(force_fns, params, dtype))
+        cb = (_pack_cables_lane(force_fns, params, dtype, B)
+              if "cb" in perlane else _pack_cables(force_fns, params, dtype))
 
         def to_tiles(a):  # [B, P] -> [P, G*8, 128]
             P = a.shape[1]
@@ -1464,6 +1759,10 @@ def make_chord_bdf2(topo: Topology, cfg, interpret: bool = None,
             cp_specs = cp_specs + [lane_rows(Scnt * 9) if "sp" in perlane
                                    else shared((Scnt, 9))]
             cp_args = cp_args + (to_tiles(sp.T) if "sp" in perlane else sp,)
+        if CBtot:
+            cp_specs = cp_specs + [lane_rows(CBtot) if "cb" in perlane
+                                   else shared((1, CBtot))]
+            cp_args = cp_args + (to_tiles(cb.T) if "cb" in perlane else cb,)
         out_x, out_h = pl.pallas_call(
             kern,
             grid=(G,),

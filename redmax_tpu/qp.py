@@ -83,3 +83,45 @@ def qp_pgs(
     lam, _ = jax.lax.scan(sweep, lam0, None, length=iters)
     x = Hf - HinvAT @ lam
     return x, lam
+
+
+def qp_pgs_batched(H, f, A, b, lo, hi, iters: int = 40, reg: float = 1e-10):
+    """Explicitly-batched dual projected Gauss-Seidel: lanes = scenes.
+
+    All args carry a leading batch dim ([B,n,n], [B,n], [B,m,n], [B,m], ...).
+    The TPU layout: the dual setup (H^{-1}f, H^{-1}A^T, D = A H^{-1} A^T)
+    is batched dense algebra on the MXU; the PGS sweep UNROLLS the (static,
+    small) row loop so each row update is one [B]-wide fused VPU op chain —
+    batch-as-tile, the same layout decision as pallas_step — with only the
+    sweep counter as a sequential scan. Gauss-Seidel is inherently
+    sequential in ROWS (each row update reads the freshest neighbors), so
+    rows cannot be vectorized without changing the iteration (to Jacobi);
+    the batch axis is where the parallelism is.
+
+    Matches jax.vmap(qp_pgs) lane-for-lane (same update order, same
+    projection boxes) up to reassociation — gated in tests/test_linalg.py.
+    Replaces the reference's per-scene quadprog calls
+    (matlab/testRedMax.m:513-530, 682-697) for batched rollouts.
+    Returns (x [B,n], lam [B,m]).
+    """
+    m = A.shape[-2]
+    Hf = jnp.linalg.solve(H, f[..., None])[..., 0]            # [B,n]
+    HinvAT = jnp.linalg.solve(H, jnp.swapaxes(A, -1, -2))     # [B,n,m]
+    D = jnp.einsum("bmn,bnk->bmk", A, HinvAT)                 # [B,m,m]
+    r = jnp.einsum("bmn,bn->bm", A, Hf) - b
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+    safe_diag = jnp.where(jnp.abs(diag) < reg, 1.0, diag)
+
+    def sweep(lam, _):
+        for i in range(m):                                    # unrolled
+            resid = (r[:, i] - jnp.einsum("bm,bm->b", D[:, i, :], lam)
+                     + diag[:, i] * lam[:, i])
+            lam = lam.at[:, i].set(
+                jnp.clip(resid / safe_diag[:, i], lo[:, i], hi[:, i])
+            )
+        return lam, None
+
+    lam0 = jnp.zeros(r.shape, dtype=H.dtype)
+    lam, _ = jax.lax.scan(sweep, lam0, None, length=iters)
+    x = Hf - jnp.einsum("bnm,bm->bn", HinvAT, lam)
+    return x, lam

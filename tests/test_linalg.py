@@ -105,3 +105,68 @@ def test_adjoint_gradient_parity_lu_vs_gj():
         )
     rel = jnp.abs(grads["gj"] - grads["lu"]).max() / jnp.abs(grads["lu"]).max()
     assert rel < 1e-12
+
+
+def test_qp_pgs_batched_matches_vmap():
+    """qp.qp_pgs_batched (lanes = scenes, rows unrolled) == jax.vmap(qp_pgs)
+    lane-for-lane on random QPs with equality + inequality + boxed rows."""
+    import numpy as np
+
+    from redmax_tpu.qp import qp_pgs, qp_pgs_batched
+
+    rng = np.random.default_rng(5)
+    B, n, me, mi, mb = 6, 8, 2, 3, 2
+    m = me + mi + mb
+    Q = rng.normal(size=(B, n, n))
+    H = jnp.asarray(Q @ np.transpose(Q, (0, 2, 1)) + 3.0 * np.eye(n))
+    f = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    b = jnp.asarray(rng.normal(size=(B, m)))
+    inf = np.inf
+    box = np.abs(rng.normal(size=(B, mb)))
+    lo = jnp.asarray(np.concatenate(
+        [np.full((B, me), -inf), np.zeros((B, mi)), -box], axis=1))
+    hi = jnp.asarray(np.concatenate(
+        [np.full((B, me), inf), np.full((B, mi), inf), box], axis=1))
+
+    x_b, lam_b = jax.jit(lambda *a: qp_pgs_batched(*a, iters=60))(
+        H, f, A, b, lo, hi)
+    x_v, lam_v = jax.jit(jax.vmap(lambda *a: qp_pgs(*a, iters=60)))(
+        H, f, A, b, lo, hi)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_v), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(lam_b), np.asarray(lam_v), atol=1e-10)
+
+
+def test_pallas_qp_oracle_matches_vmap():
+    """pallas_qp.dual_pgs_dense (the numpy oracle of the fused QP kernel —
+    identical kernel code) == jax.vmap(qp_pgs) on random QPs with
+    equality + inequality + boxed rows."""
+    import numpy as np
+
+    from redmax_tpu import pallas_qp
+    from redmax_tpu.qp import qp_pgs
+
+    rng = np.random.default_rng(11)
+    B, n, me, mi, mb = 5, 6, 1, 4, 3
+    m = me + mi + mb
+    Q = rng.normal(size=(B, n, n)).astype(np.float32)
+    H = Q @ np.transpose(Q, (0, 2, 1)) + 3.0 * np.eye(n, dtype=np.float32)
+    f = rng.normal(size=(B, n)).astype(np.float32)
+    A = rng.normal(size=(B, m, n)).astype(np.float32)
+    b = rng.normal(size=(B, m)).astype(np.float32)
+    inf = np.float32(np.inf)
+    box = np.abs(rng.normal(size=(B, mb))).astype(np.float32)
+    lo = np.concatenate(
+        [np.full((B, me), -inf), np.zeros((B, mi), np.float32), -box], axis=1)
+    hi = np.concatenate(
+        [np.full((B, me), inf), np.full((B, mi), inf), box], axis=1)
+
+    x_np, lam_np = pallas_qp.dual_pgs_dense(H, f, A, b, lo, hi, iters=60)
+    x_v, lam_v = jax.jit(jax.vmap(lambda *a: qp_pgs(*a, iters=60)))(
+        *(jnp.asarray(a) for a in (H, f, A, b, lo, hi)))
+    scale = float(np.abs(np.asarray(x_v)).max())
+    np.testing.assert_allclose(np.asarray(x_np), np.asarray(x_v),
+                               atol=2e-5 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(lam_np), np.asarray(lam_v),
+                               atol=2e-4 * max(1.0, float(np.abs(np.asarray(lam_v)).max())))

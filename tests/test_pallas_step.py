@@ -386,9 +386,12 @@ def test_unsupported_scene_falls_back():
         integrators.make_bdf2_step_batched(
             sc.topo, sc.force_fns, CFG, use_pallas=True
         )
-    sc13 = build_scene(13)                 # cable scene
-    assert not pallas_step.supports(sc13.topo, sc13.force_fns)
-    for qualifying in (_ground_scene(), build_scene(7), build_scene(12)):
+    from redmax_tpu.scenes_matlab import build_mscene
+
+    scm = build_mscene(24)                 # SpringDamperM (custom_KD path)
+    assert not pallas_step.supports(scm.topo, scm.force_fns)
+    for qualifying in (_ground_scene(), build_scene(7), build_scene(12),
+                       build_scene(13)):   # r5: cables qualify too
         assert pallas_step.supports(qualifying.topo, qualifying.force_fns)
     # backward escape hatches are rejected up front on the fallback path
     # (a silent reuse-gradient fallback would betray the request).
@@ -504,16 +507,21 @@ def test_contact_rollout_matches_vmap_fallback():
     )
 
 
-@pytest.mark.parametrize("mode", ["guarded", "refresh", "guarded_refresh"])
+@pytest.mark.parametrize(
+    "mode", ["guarded", "refresh", "guarded_refresh", "guard_last"]
+)
 def test_robust_solve_modes_match_newton(mode):
     """The kernel's guarded solve (full/half/stay-put line-search guard, with
-    chord=True OR re-evaluated-H chord=False) and plain re-evaluated-H mode
-    == integrators.newton with the same config, on the contact scene where
+    chord=True OR re-evaluated-H chord=False), plain re-evaluated-H mode,
+    and the r5 guard_last mode (one guarded final chord iteration) ==
+    integrators.newton with the same config, on the contact scene where
     these modes matter. (r5: newton() guards the non-chord branch too, so
     every kernel mode has a behavior-equal vmapped counterpart.)"""
     cfg = NewtonConfig(
         fixed_iters=3, predictor="quadratic",
-        chord=(mode == "guarded"), guarded=(mode != "refresh"),
+        chord=(mode in ("guarded", "guard_last")),
+        guarded=(mode in ("guarded", "guarded_refresh")),
+        guard_last=(mode == "guard_last"),
         hessian="structured", linsolve="gj",
     )
     sc = _ground_scene()
@@ -932,3 +940,118 @@ def test_perlane_inertia_vjp_matches_fallback():
         cf, cp = np.asarray(cf, np.float64), np.asarray(cp, np.float64)
         scale = max(np.abs(cf).max(), 1e-9)
         np.testing.assert_allclose(cp, cf, atol=5e-4 * scale, err_msg=name)
+
+
+def _cable_scene(taut=True):
+    """Revolute chain + a 4-point tension-only cable (world anchor + three
+    body points) — the multi-point closure added to the kernel in r5.
+    taut=False puts the cable slack (gate = 0 regime)."""
+
+    def transl(p):
+        E = np.eye(4)
+        E[:3, 3] = p
+        return E
+
+    b = SceneBuilder(name="cab", h=1e-2, tEnd=0.1, grav=(0.0, 0.0, -980.0))
+    for i in range(3):
+        b_i = b.body_cuboid(1.0, (1.0, 0.1, 0.1), E_ji=transl([0.5, 0, 0]))
+        b.joint(JointType.REVOLUTE, None if i == 0 else i - 1, b_i,
+                E_pj=np.eye(4) if i == 0 else transl([1.0, 0, 0]),
+                axis=(0, 1, 0) if i % 2 == 0 else (0, 0, 1))
+    b.force_cable(
+        [-1, 0, 1, 2],
+        [[0.0, 0.5, 2.0], [0.3, 0, 0.05], [0.4, 0, 0.0], [0.2, 0, -0.05]],
+        k=200.0, d=5.0, L=(0.5 if taut else 50.0),
+    )
+    return b.compile(dtype=jnp.float32)
+
+
+def test_cable_blocks_match_jacfwd():
+    """_cable_force's closed-form point-pair K/D blocks (shared tension
+    couples EVERY point pair) == jacfwd of the ForceCable closure under the
+    structured_hessian perturbation convention, in f64; wrench values match
+    the closure exactly. Covers taut and slack regimes."""
+    from redmax_tpu import se3
+
+    for taut in (True, False):
+        sc = _cable_scene(taut)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64) if hasattr(a, "astype") else a,
+            sc.params,
+        )
+        rng = np.random.default_rng(29)
+        q = jnp.asarray(0.4 * rng.normal(size=sc.topo.nr))
+        qdot = jnp.asarray(rng.normal(size=sc.topo.nr))
+        kin = model.forward_kinematics(sc.topo, params, q, qdot, {})
+        _, _, phi = model.jacobians(sc.topo, params, kin, qdot)
+        fn = sc.force_fns[0]
+        N = sc.topo.njoints
+        z = jnp.zeros((N, 6), dtype=jnp.float64)
+
+        def fm_of(xi, dphi):
+            kin2 = kin._replace(E_wi=kin.E_wi @ se3.exp(xi))
+            _, fm = fn(params, kin2, None, phi + dphi, q, qdot)
+            return fm
+
+        K_ref = np.asarray(jax.jacfwd(fm_of, argnums=0)(z, z))
+        D_ref = np.asarray(jax.jacfwd(fm_of, argnums=1)(z, z))
+        fm_ref = np.asarray(fm_of(z, z))
+
+        fp = params["forces"][fn.key]
+        spec = pallas_step._cable_spec(sc.force_fns)[0]
+        sts = []
+        for b, xl in zip(spec["bodies"], np.asarray(fp["xls"], np.float64)):
+            r = list(xl)
+            if b < 0:
+                sts.append((r, [0.0, 0.0, 0.0], None, None, r))
+                continue
+            E = np.asarray(kin.E_wi[b])
+            R = [[E[i, j] for j in range(3)] for i in range(3)]
+            p = [E[i, 3] for i in range(3)]
+            ph = np.asarray(phi[b])
+            w = list(np.cross(ph[:3], r) + ph[3:])
+            x = [p[i] + sum(R[i][k] * r[k] for k in range(3))
+                 for i in range(3)]
+            v = [sum(R[i][k] * w[k] for k in range(3)) for i in range(3)]
+            sts.append((x, v, R, w, r))
+        cab = {"k": np.float64(fp["k"]), "d": np.float64(fp["d"]),
+               "L": np.float64(fp["L"])}
+        wrs, blocks = pallas_step._cable_force(
+            sts, cab, np.float64, np, want_blocks=True)
+        fm_chk = np.zeros((N, 6))
+        K_chk = np.zeros((N, 6, N, 6))
+        D_chk = np.zeros((N, 6, N, 6))
+        for b, wr in zip(spec["bodies"], wrs):
+            if wr is not None:
+                fm_chk[b] += np.array(wr)
+        for (pi, pj), (K, D) in blocks.items():
+            K_chk[spec["bodies"][pi], :, spec["bodies"][pj], :] += np.array(K)
+            D_chk[spec["bodies"][pi], :, spec["bodies"][pj], :] += np.array(D)
+        if taut:
+            assert np.abs(fm_ref).max() > 0
+        np.testing.assert_allclose(fm_chk, fm_ref, atol=1e-9)
+        np.testing.assert_allclose(K_chk, K_ref, atol=1e-8)
+        np.testing.assert_allclose(D_chk, D_ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("taut", [True, False])
+def test_cable_solve_matches_chord(taut):
+    """Cable scene (taut AND slack): the numpy-oracle kernel solve == the
+    vmapped chord reference."""
+    sc = _cable_scene(taut)
+    assert pallas_step.supports(sc.topo, sc.force_fns)
+    B = 8
+    x0, q0, qd0, q1, qd1 = _rand_states(sc, B, seed=47)
+    x_np, _ = pallas_step.chord_bdf2_dense(
+        sc.topo, CFG, sc.params, x0, q0, qd0, q1, qd1, xp=np,
+        force_fns=sc.force_fns,
+    )
+    x_ref, _ = jax.jit(
+        lambda a, b, c, d, e: _jax_chord_solve(sc, CFG, sc.params,
+                                               a, b, c, d, e)
+    )(x0, q0, qd0, q1, qd1)
+    x_ref = np.asarray(x_ref)
+    fin = np.all(np.isfinite(x_ref), axis=-1)
+    assert fin.all()
+    # taut cable forces are O(1e3): f32 reassociation shows at ~1e-5 |dq|
+    np.testing.assert_allclose(np.asarray(x_np), x_ref, rtol=0, atol=3e-5)
