@@ -105,11 +105,58 @@ def _Q_universal(q, params):
     return se3.make_E(R, jnp.zeros(3, dtype=dtype))
 
 
+def _S_universal(q, params):
+    # Closed form (JointUniversal.m:74-130 codegen result): for R = Rx Ry,
+    # col0 = unhat(R^T dR/dq0) = Ry^T ex = [c1, 0, s1], col1 = ey.
+    dtype = q.dtype
+    z = jnp.zeros((), dtype)
+    c1, s1 = jnp.cos(q[1]), jnp.sin(q[1])
+    col0 = jnp.stack([c1, z, s1, z, z, z])
+    col1 = jnp.stack([z, 1.0 + z, z, z, z, z])
+    return jnp.stack([col0, col1], axis=-1)
+
+
 def _Q_spherical(q, params):
     # JointSphericalExp.update_ (matlab/+redmax/JointSphericalExp.m:49):
-    # R = exp(hat(q)); S is the right/body Jacobian of SO(3), derived by AD.
+    # R = exp(hat(q)); S is the right/body Jacobian of SO(3) (closed form
+    # below, matching JointSphericalExp.m:49-91).
     R = se3.exp_so3(q)
     return se3.make_E(R, jnp.zeros(3, dtype=q.dtype))
+
+
+def so3_right_jacobian(r):
+    """Body Jacobian of exp_so3 at r — the SO(3) right Jacobian
+
+        Jr(r) = I - a(s) W + b(s) W^2,  s = |r|^2, W = hat(r),
+        a = (1-cos t)/t^2, b = (t - sin t)/t^3  (t = |r|)
+
+    as a smooth closed form: every coefficient an EVEN function of t written
+    in s, Taylor below s = 0.04 where the trig forms cancel in f32 (the se3
+    guard family — jvp/vjp-safe at r = 0). Equal to jacfwd of exp_so3 to
+    machine precision at a fraction of the graph: this is the exp-map
+    S (JointSphericalExp.m:49-91), evaluated per joint in the residual AND
+    per lane per step in the batched reparam, and its closed form keeps the
+    adjoint's residual-VJP first-order instead of third-order
+    (vjp∘jvp∘jacfwd of exp_so3)."""
+    dtype = r.dtype
+    s = jnp.dot(r, r)
+    sg = jnp.maximum(s, jnp.asarray(1e-12, dtype))
+    th = jnp.sqrt(sg)
+    small = s < 0.04
+    a = jnp.where(small, 0.5 - s / 24.0 + s * s / 720.0,
+                  (1.0 - jnp.cos(th)) / sg)
+    b = jnp.where(small, 1.0 / 6.0 - s / 120.0 + s * s / 5040.0,
+                  (th - jnp.sin(th)) / (sg * th))
+    W = se3.hat3(r)
+    return jnp.eye(3, dtype=dtype) - a * W + b * (W @ W)
+
+
+def _S_spherical(q, params):
+    # S = [Jr(q); 0]: unhat6(Q^-1 dQ/dq_k) has rotation part = Jr column k,
+    # zero translation (Q is a pure rotation).
+    return jnp.concatenate(
+        [so3_right_jacobian(q), jnp.zeros((3, 3), dtype=q.dtype)], axis=0
+    )
 
 
 def _Q_free2d(q, params):
@@ -120,6 +167,19 @@ def _Q_free2d(q, params):
     R = R.at[0, 0].set(c).at[0, 1].set(-s).at[1, 0].set(s).at[1, 1].set(c)
     p = jnp.stack([q[0], q[1], jnp.zeros((), dtype=dtype)])
     return se3.make_E(R, p)
+
+
+def _S_free2d(q, params):
+    # Q = [Rz(th) | (x, y, 0)]: col_x = [0; Rz^T ex], col_y = [0; Rz^T ey],
+    # col_th = [ez; 0].
+    dtype = q.dtype
+    z = jnp.zeros((), dtype)
+    c, s = jnp.cos(q[2]), jnp.sin(q[2])
+    return jnp.stack([
+        jnp.stack([z, z, z, c, -s, z]),
+        jnp.stack([z, z, z, s, c, z]),
+        jnp.stack([z, z, 1.0 + z, z, z, z]),
+    ], axis=-1)
 
 
 def _Q_spherical_euler(q, params):
@@ -146,12 +206,36 @@ def _Q_free3d(q, params):
     return se3.make_E(R, q[0:3])
 
 
+def _S_free3d(q, params):
+    # Q = [R | p]: translation cols k = [0; R^T e_k] (Q^-1 dQ/dp_k picks the
+    # k-th row of R), rotation cols = [Jr col k; 0].
+    R = se3.exp_so3(q[3:6])
+    z3 = jnp.zeros((3, 3), dtype=q.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([z3, R.T], axis=0),
+         jnp.concatenate([so3_right_jacobian(q[3:6]), z3], axis=0)], axis=1
+    )
+
+
 def _Q_free_st(q, params):
     # JointFree (matlab/+redmax/JointFree.m:33-46, gear GJointFreeST port):
     # Q = Q_spherical(q[0:3]) * Q_translational(q[3:6]) = SE3(R, R p) —
     # the translation acts in the ROTATED frame (unlike FREE3D).
     R = se3.exp_so3(q[0:3])
     return se3.make_E(R, R @ q[3:6])
+
+
+def _S_free_st(q, params):
+    # Composite identity S = [Ad(Q2^-1) S1, S2] with Q1 = rot(exp(r)),
+    # Q2 = trans(p): rotation cols k = [Jr_k; -hat(p) Jr_k], translation
+    # cols = [0; e_k].
+    dtype = q.dtype
+    Jr = so3_right_jacobian(q[0:3])
+    z3 = jnp.zeros((3, 3), dtype=dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([Jr, -se3.hat3(q[3:6]) @ Jr], axis=0),
+         jnp.concatenate([z3, jnp.eye(3, dtype=dtype)], axis=0)], axis=1
+    )
 
 
 def _Q_composite_rp(q, params):
@@ -162,6 +246,16 @@ def _Q_composite_rp(q, params):
     Q1 = se3.make_E(R, jnp.zeros(3, dtype=q.dtype))
     Q2 = se3.make_E(jnp.eye(3, dtype=q.dtype), params["axis2"] * q[1])
     return Q1 @ Q2
+
+
+def _S_composite_rp(q, params):
+    # S = [Ad(Q2^-1) S1, S2], S1 = [a1; 0], S2 = [0; a2], Q2 = trans(a2 q1):
+    # col0 = [a1; -q1 (a2 x a1)], col1 = [0; a2].
+    a1, a2 = params["axis1"], params["axis2"]
+    z3 = jnp.zeros(3, dtype=q.dtype)
+    col0 = jnp.concatenate([a1, -q[1] * jnp.cross(a2, a1)])
+    col1 = jnp.concatenate([z3, a2])
+    return jnp.stack([col0, col1], axis=-1)
 
 
 # Cubic B-spline coefficient matrix (JointSplineCurve.B, :15-20).
@@ -240,25 +334,7 @@ def _make_exp_reparam(rot_slice):
     the rotational 3x3 blocks of the motion subspace.
     """
 
-    def so3_S(r):
-        # Body Jacobian of exp_so3 at r: the SO(3) right Jacobian
-        #   Jr(r) = I - a(s) W + b(s) W^2,  s = |r|^2, W = hat(r),
-        #   a = (1-cos t)/t^2, b = (t - sin t)/t^3
-        # in closed form (smooth, EVEN functions of t written in s, Taylor
-        # below s = 0.04 where the trig forms cancel in f32) — equal to
-        # jacfwd of exp_so3 to machine precision, at a fraction of the
-        # graph (this runs per lane per step in the batched pipeline).
-        dtype = r.dtype
-        s = jnp.dot(r, r)
-        sg = jnp.maximum(s, jnp.asarray(1e-12, dtype))
-        th = jnp.sqrt(sg)
-        small = s < 0.04
-        a = jnp.where(small, 0.5 - s / 24.0 + s * s / 720.0,
-                      (1.0 - jnp.cos(th)) / sg)
-        b = jnp.where(small, 1.0 / 6.0 - s / 120.0 + s * s / 5040.0,
-                      (th - jnp.sin(th)) / (sg * th))
-        W = se3.hat3(r)
-        return jnp.eye(3, dtype=dtype) - a * W + b * (W @ W)
+    so3_S = so3_right_jacobian
 
     def reparam(q, qdot, params):
         r = q[rot_slice]
@@ -283,13 +359,13 @@ KERNELS: Dict[JointType, JointKernel] = {
     JointType.PRISMATIC: JointKernel(_Q_prismatic, _S_prismatic),
     JointType.PLANAR: JointKernel(_Q_planar, _S_planar),
     JointType.TRANSLATIONAL: JointKernel(_Q_translational, _S_translational),
-    JointType.UNIVERSAL: JointKernel(_Q_universal),
+    JointType.UNIVERSAL: JointKernel(_Q_universal, _S_universal),
     JointType.SPHERICAL: JointKernel(
-        _Q_spherical, reparam_fn=_make_exp_reparam(slice(0, 3))
+        _Q_spherical, _S_spherical, reparam_fn=_make_exp_reparam(slice(0, 3))
     ),
-    JointType.FREE2D: JointKernel(_Q_free2d),
+    JointType.FREE2D: JointKernel(_Q_free2d, _S_free2d),
     JointType.FREE3D: JointKernel(
-        _Q_free3d, reparam_fn=_make_exp_reparam(slice(3, 6))
+        _Q_free3d, _S_free3d, reparam_fn=_make_exp_reparam(slice(3, 6))
     ),
     # Chart switching is handled by model.reparam_all (needs previous-step
     # state and the chart aux), not by a per-kernel reparam_fn.
@@ -297,9 +373,9 @@ KERNELS: Dict[JointType, JointKernel] = {
     JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler),
     JointType.SPLINE_CURVE: JointKernel(_Q_spline_curve),
     JointType.SPLINE_SURFACE: JointKernel(_Q_spline_surface),
-    JointType.COMPOSITE_RP: JointKernel(_Q_composite_rp),
+    JointType.COMPOSITE_RP: JointKernel(_Q_composite_rp, _S_composite_rp),
     JointType.FREE_ST: JointKernel(
-        _Q_free_st, reparam_fn=_make_exp_reparam(slice(0, 3))
+        _Q_free_st, _S_free_st, reparam_fn=_make_exp_reparam(slice(0, 3))
     ),
 }
 

@@ -302,3 +302,46 @@ def test_scene_composite_desugar_matches_fused_rp():
         outs.append((np.asarray(final.q), np.asarray(final.qdot)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-12)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-11)
+
+
+def test_closed_form_S_matches_derive_S():
+    """The closed-form S_fn overrides for the q-DEPENDENT-S joints
+    (UNIVERSAL, SPHERICAL exp-map right Jacobian, FREE2D, FREE3D, FREE_ST,
+    COMPOSITE_RP) must equal the autodiff identity S_k = unhat6(Q^-1 dQ/dq_k)
+    to machine precision — including Sdot = jvp(S_fn) and the Taylor-guard
+    region near q = 0. (These overrides keep the adjoint's residual VJP
+    first-order instead of vjp∘jvp∘jacfwd of the exp map — the r5 fallback/
+    backward speedup, benchmarks/sph_profile.json.)"""
+    rng = np.random.default_rng(7)
+    cases = [
+        (JointType.UNIVERSAL, {}),
+        (JointType.SPHERICAL, {}),
+        (JointType.FREE2D, {}),
+        (JointType.FREE3D, {}),
+        (JointType.FREE_ST, {}),
+        (JointType.COMPOSITE_RP,
+         {"axis1": jnp.asarray([0.0, 1.0, 0.0]),
+          "axis2": jnp.asarray([1.0, 0.0, 0.0])}),
+    ]
+    for jt, params in cases:
+        k = KERNELS[jt]
+        assert k.S_fn is not None, jt
+        d = NDOF[jt]
+        S_ad_fn = derive_S(k.Q_fn)
+        for scale in (1e-4, 0.3, 2.0):   # Taylor branch, mid, trig branch
+            q = jnp.asarray(rng.normal(size=d) * scale)
+            qd = jnp.asarray(rng.normal(size=d))
+            S_ad = S_ad_fn(q, params)
+            S_cf = k.S_fn(q, params)
+            np.testing.assert_allclose(
+                np.asarray(S_cf), np.asarray(S_ad), atol=1e-12,
+                err_msg=f"{jt} S at scale {scale}")
+            _, Sd_ad = jax.jvp(lambda qq: S_ad_fn(qq, params), (q,), (qd,))
+            _, Sd_cf = jax.jvp(lambda qq: k.S_fn(qq, params), (q,), (qd,))
+            # Sdot atol: the AUTODIFF side is jvp∘jacfwd through exp_so3's
+            # Taylor guard — near the guard boundary its cancellation noise
+            # reaches ~3e-10 (FREE3D at |q| ~ 1e-4); the closed form is the
+            # cleaner of the two.
+            np.testing.assert_allclose(
+                np.asarray(Sd_cf), np.asarray(Sd_ad), atol=3e-9,
+                err_msg=f"{jt} Sdot at scale {scale}")
