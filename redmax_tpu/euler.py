@@ -72,13 +72,24 @@ def euler_R(chart, q):
 def euler_T(chart, q):
     """Body angular-velocity map T (the reference's T): w_body = T qdot.
 
-    T[:, k] = unhat(R^T dR/dq_k) — exact, by forward-mode autodiff
-    (replacing the symbolic T of JointSpherical.XYZ et al.).
+    Closed form (replacing the symbolic T of JointSpherical.XYZ et al.):
+    for R = Ra(q1) Rb(q2) Rc(q3), T[:, k] = unhat(R^T dR/dq_k) collapses to
+
+        T = [ Rc^T Rb^T e_a,  Rc^T e_b,  e_c ]
+
+    — each later factor conjugates the earlier axis into the body frame.
+    Equal to the jacfwd identity to machine precision
+    (tests/test_derivatives.py::test_euler_T_closed_form); keeping it
+    closed-form keeps S/Sdot and the adjoint's residual VJP first-order
+    instead of differentiating through jacfwd of the chart switch.
     """
-    R = euler_R(chart, q)
-    dR = jax.jacfwd(lambda qq: euler_R(chart, qq))(q)      # [3,3,3]
-    cols = [se3.unhat3(R.T @ dR[:, :, k]) for k in range(3)]
-    return jnp.stack(cols, axis=-1)
+    t = jnp.asarray(AXES)[chart]
+    ea = jax.nn.one_hot(t[0], 3, dtype=q.dtype)
+    eb = jax.nn.one_hot(t[1], 3, dtype=q.dtype)
+    ec = jax.nn.one_hot(t[2], 3, dtype=q.dtype)
+    Rb = _axis_rot(t[1], q[1])
+    Rc = _axis_rot(t[2], q[2])
+    return jnp.stack([Rc.T @ (Rb.T @ ea), Rc.T @ eb, ec], axis=-1)
 
 
 def euler_detT(chart, q):

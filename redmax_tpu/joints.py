@@ -191,11 +191,32 @@ def _Q_spherical_euler(q, params):
     return se3.make_E(R, jnp.zeros(3, dtype=q.dtype))
 
 
+def _S_spherical_euler(q, params):
+    # S = [T(chart, q); 0] — the chart's body angular-velocity map
+    # (euler.euler_T closed form).
+    return jnp.concatenate(
+        [euler.euler_T(params["chart"], q),
+         jnp.zeros((3, 3), dtype=q.dtype)], axis=0
+    )
+
+
 def _Q_free3d_euler(q, params):
     # JointFree3D.update_ (matlab-diff/+redmax/JointFree3D.m:34-66):
     # Q = [R(q[3:6]) | p = q[0:3]] with the rotation from the Euler chart.
     R = euler.euler_R(params["chart"], q[3:6])
     return se3.make_E(R, q[0:3])
+
+
+def _S_free3d_euler(q, params):
+    # Translation cols k = [0; R^T e_k], rotation cols = [T col k; 0]
+    # (the FREE3D decomposition with the chart rotation).
+    R = euler.euler_R(params["chart"], q[3:6])
+    T = euler.euler_T(params["chart"], q[3:6])
+    z3 = jnp.zeros((3, 3), dtype=q.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([z3, R.T], axis=0),
+         jnp.concatenate([T, z3], axis=0)], axis=1
+    )
 
 
 def _Q_free3d(q, params):
@@ -369,8 +390,9 @@ KERNELS: Dict[JointType, JointKernel] = {
     ),
     # Chart switching is handled by model.reparam_all (needs previous-step
     # state and the chart aux), not by a per-kernel reparam_fn.
-    JointType.SPHERICAL_EULER: JointKernel(_Q_spherical_euler),
-    JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler),
+    JointType.SPHERICAL_EULER: JointKernel(_Q_spherical_euler,
+                                           _S_spherical_euler),
+    JointType.FREE3D_EULER: JointKernel(_Q_free3d_euler, _S_free3d_euler),
     JointType.SPLINE_CURVE: JointKernel(_Q_spline_curve),
     JointType.SPLINE_SURFACE: JointKernel(_Q_spline_surface),
     JointType.COMPOSITE_RP: JointKernel(_Q_composite_rp, _S_composite_rp),

@@ -345,3 +345,41 @@ def test_closed_form_S_matches_derive_S():
             np.testing.assert_allclose(
                 np.asarray(Sd_cf), np.asarray(Sd_ad), atol=3e-9,
                 err_msg=f"{jt} Sdot at scale {scale}")
+
+
+def test_euler_chart_closed_form_S_and_T():
+    """euler.euler_T's closed form T = [Rc^T Rb^T e_a, Rc^T e_b, e_c] and
+    the SPHERICAL_EULER / FREE3D_EULER S_fn overrides must equal the
+    autodiff identities to machine precision across all 12 charts."""
+    from redmax_tpu import euler
+
+    def euler_T_ad(chart, q):
+        R = euler.euler_R(chart, q)
+        dR = jax.jacfwd(lambda qq: euler.euler_R(chart, qq))(q)
+        return jnp.stack(
+            [se3.unhat3(R.T @ dR[:, :, k]) for k in range(3)], axis=-1)
+
+    rng = np.random.default_rng(3)
+    for chart in range(12):
+        q = jnp.asarray(rng.normal(size=3))
+        np.testing.assert_allclose(
+            np.asarray(euler.euler_T(jnp.int32(chart), q)),
+            np.asarray(euler_T_ad(jnp.int32(chart), q)), atol=1e-13,
+            err_msg=f"euler_T chart {chart}")
+    for jt in (JointType.SPHERICAL_EULER, JointType.FREE3D_EULER):
+        k = KERNELS[jt]
+        d = NDOF[jt]
+        S_ad_fn = derive_S(k.Q_fn)
+        for chart in (0, 5, 6, 11):
+            params = {"chart": jnp.int32(chart)}
+            q = jnp.asarray(rng.normal(size=d))
+            qd = jnp.asarray(rng.normal(size=d))
+            np.testing.assert_allclose(
+                np.asarray(k.S_fn(q, params)),
+                np.asarray(S_ad_fn(q, params)), atol=1e-13,
+                err_msg=f"{jt} S chart {chart}")
+            _, Sd_ad = jax.jvp(lambda qq: S_ad_fn(qq, params), (q,), (qd,))
+            _, Sd_cf = jax.jvp(lambda qq: k.S_fn(qq, params), (q,), (qd,))
+            np.testing.assert_allclose(
+                np.asarray(Sd_cf), np.asarray(Sd_ad), atol=1e-12,
+                err_msg=f"{jt} Sdot chart {chart}")
