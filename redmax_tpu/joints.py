@@ -151,6 +151,38 @@ def so3_right_jacobian(r):
     return jnp.eye(3, dtype=dtype) - a * W + b * (W @ W)
 
 
+def so3_right_jacobian_inv(r):
+    """Closed-form inverse of the SO(3) right Jacobian:
+
+        Jr(r)^-1 = I + W/2 + d(s) W^2,  d = (1 - (t/2) cot(t/2)) / s
+
+    (s = |r|^2, t = |r|, W = hat(r)); Taylor d = 1/12 + s/720 + s^2/30240
+    + s^3/1209600 below a DTYPE-DEPENDENT threshold: the closed form
+    subtracts two nearly-equal terms, so f32 wants the wide Taylor branch
+    (s < 1: truncation 2e-8 < f32 eps, cancellation avoided), while f64
+    wants the narrow one (s < 0.04: truncation 5e-14, and f64 carries the
+    cancellation harmlessly above it). Valid for t < 2*pi; reparam keeps
+    its inputs at t <= 1.5*pi where cot(t/2) is regular. Gated by
+    tests/test_derivatives.py::test_so3_right_jacobian_inv (product
+    check)."""
+    dtype = r.dtype
+    s = jnp.dot(r, r)
+    sg = jnp.maximum(s, jnp.asarray(1e-12, dtype))
+    th = jnp.sqrt(sg)
+    half = 0.5 * th
+    small = s < (1.0 if dtype == jnp.float32 else 0.04)
+    # cot(t/2) = cos(t/2)/sin(t/2); sin(t/2) > 0 for 0 < t <= 1.5*pi.
+    sn = jnp.sin(half)
+    cs = jnp.cos(half)
+    d = jnp.where(
+        small,
+        1.0 / 12.0 + s / 720.0 + s * s / 30240.0 + s * s * s / 1209600.0,
+        (1.0 - half * cs / jnp.where(small, jnp.ones((), dtype), sn)) / sg,
+    )
+    W = se3.hat3(r)
+    return jnp.eye(3, dtype=dtype) + 0.5 * W + d * (W @ W)
+
+
 def _S_spherical(q, params):
     # S = [Jr(q); 0]: unhat6(Q^-1 dQ/dq_k) has rotation part = Jr column k,
     # zero translation (Q is a pure rotation).
@@ -355,17 +387,20 @@ def _make_exp_reparam(rot_slice):
     the rotational 3x3 blocks of the motion subspace.
     """
 
-    so3_S = so3_right_jacobian
-
     def reparam(q, qdot, params):
         r = q[rot_slice]
         rdot = qdot[rot_slice]
         r_new = se3.reparam_exp(r)
         changed = jnp.any(jnp.abs(r_new - r) > 0)
-        S_old = so3_S(r)
-        S_new = so3_S(r_new)
+        # Physical angular velocity preserved: omega = Jr(r) rdot, so
+        # rdot_new = Jr(r_new)^-1 Jr(r) rdot — both closed forms. (The
+        # r4 jnp.linalg.solve here was THE spherical-pipeline bottleneck:
+        # a per-step batched 3x3 LU on TPU cost 8x the entire fused
+        # forward solve, benchmarks/sph_profile.json.)
         rdot_new = jnp.where(
-            changed, jnp.linalg.solve(S_new, S_old @ rdot), rdot
+            changed,
+            so3_right_jacobian_inv(r_new) @ (so3_right_jacobian(r) @ rdot),
+            rdot,
         )
         q = q.at[rot_slice].set(r_new)
         qdot = qdot.at[rot_slice].set(rdot_new)

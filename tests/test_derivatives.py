@@ -383,3 +383,36 @@ def test_euler_chart_closed_form_S_and_T():
             np.testing.assert_allclose(
                 np.asarray(Sd_cf), np.asarray(Sd_ad), atol=1e-12,
                 err_msg=f"{jt} Sdot chart {chart}")
+
+
+def test_so3_right_jacobian_inv():
+    """Closed-form Jr^-1 (joints.so3_right_jacobian_inv) must invert
+    joints.so3_right_jacobian across both guard branches in both dtypes,
+    and the exp-map reparam must preserve the physical angular velocity
+    omega = Jr(r) rdot through a rescale (the r5 replacement for the
+    per-step batched 3x3 linalg.solve — benchmarks/sph_profile.json)."""
+    from redmax_tpu.joints import (KERNELS, so3_right_jacobian,
+                                   so3_right_jacobian_inv)
+
+    rng = np.random.default_rng(5)
+    for dt, tol in ((jnp.float64, 1e-9), (jnp.float32, 1e-6)):
+        for scale in (1e-6, 0.15, 0.25, 0.99, 1.01, 2.0, 4.0):
+            r = jnp.asarray(rng.normal(size=3), dt)
+            r = r / jnp.linalg.norm(r) * scale
+            P = so3_right_jacobian_inv(r) @ so3_right_jacobian(r)
+            np.testing.assert_allclose(
+                np.asarray(P), np.eye(3), atol=tol,
+                err_msg=f"{dt.__name__} scale {scale}")
+    k = KERNELS[JointType.SPHERICAL]
+    for mag in (0.5, 5.0):          # below / above the 1.5*pi rescale
+        q = jnp.asarray(rng.normal(size=3))
+        q = q / jnp.linalg.norm(q) * mag
+        qd = jnp.asarray(rng.normal(size=3))
+        q2, qd2 = k.reparam_fn(q, qd, {})
+        w_old = so3_right_jacobian(q) @ qd
+        w_new = so3_right_jacobian(q2) @ qd2
+        np.testing.assert_allclose(
+            np.asarray(w_new), np.asarray(w_old), atol=1e-12,
+            err_msg=f"omega not preserved at |q| = {mag}")
+        if mag > 1.5 * np.pi:
+            assert float(jnp.linalg.norm(q2)) < 1.5 * np.pi
